@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship iterative PageRank on the sf0.001 corpus.
+``queries()`` / ``oracle_sql()`` aggregate the per-module query registries;
+every relational/graph/extension operator is registered with a DuckDB
+oracle (queries without one get the driver's weaker rows-only check and are
+flagged in the module docstrings).
 """
 
 from __future__ import annotations
@@ -16,23 +16,46 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from page_rank_mapreduce_java_spark.graph.queries import q_pagerank
+
+    return q_pagerank(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> tuple[dict, dict]:
+    from page_rank_mapreduce_java_spark.graph import queries as graph_queries
+    from page_rank_mapreduce_java_spark.operators import relational
+
+    modules = [graph_queries, relational]
+    try:  # extension surfaces land incrementally; never break the contract
+        from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
+
+        modules.append(dedup_queries)
+    except ImportError:
+        pass
+    try:
+        from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
+
+        modules.append(sim_queries)
+    except ImportError:
+        pass
+    try:
+        from page_rank_mapreduce_java_spark.functions import text_queries
+
+        modules.append(text_queries)
+    except ImportError:
+        pass
+
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    o: dict[str, str] = {}
+    for m in modules:
+        q.update(m.QUERIES)
+        o.update(m.ORACLES)
+    return q, o
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

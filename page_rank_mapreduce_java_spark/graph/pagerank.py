@@ -1,0 +1,202 @@
+"""Iterative PageRank, Spark-first.
+
+The reference (pageRank_v2.java, see SURVEY.md §2-3) runs one MapReduce job
+per iteration, circulating the adjacency list through every shuffle to avoid
+a join, and feeding the dangling mass back through a Hadoop Counter. The
+Spark-idiomatic plan replaces all of that:
+
+- the adjacency ("links") DataFrame is computed once, hash-partitioned on
+  ``src``, and persisted — circulation (reference pageRank_v2.java:141,160)
+  is unnecessary because executors keep it resident;
+- the per-iteration scatter+gather is one join + one aggregation
+  (``ranks ⋈ links`` on id, then ``groupBy(dst).sum``), which is exactly the
+  GraphX/GraphFrames triplet step (Gonzalez et al., OSDI'14);
+- the dangling-mass counter (reference pageRank_v2.java:216-222, :79-83)
+  becomes a driver-side scalar from a small aggregate action per iteration;
+- lineage is cut every iteration with ``localCheckpoint`` — the #1
+  Spark-specific hazard for iterative dataflow (SURVEY.md §4.3).
+
+Scale notes (100 TB design point): ranks and links are co-partitioned on
+the join key with the same partition count, so the per-iteration join
+reshuffles only the (small) ranks side; the links side is shuffled once at
+setup. Contributions aggregate map-side first (hash aggregate partial).
+No driver-side collections anywhere except the two scalars (N, dangling
+mass) per iteration.
+
+Semantics (general form): with damping d (reference: 0.85, Makefile:24) and
+N nodes,
+
+    rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/outdeg(u) + D/N)
+
+where D = Σ rank(u) over dangling u (outdeg 0). The reference's update
+(pageRank_v2.java:126-127) is this formula with its synthetic graph's
+outdeg ≡ 1; see SURVEY.md §2.6 M1 for the divergence note.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.plans.checkpoints import cut_lineage
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # id LONG, rank DOUBLE
+    num_nodes: int
+    iterations_run: int
+    dangling_mass_per_iter: list[float] = field(default_factory=list)
+    l1_deltas: list[float] = field(default_factory=list)
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iterations: int = 10,
+    damping: float = 0.85,
+    tol: float | None = None,
+    checkpoint_every: int = 1,
+    partitions: int | None = None,
+) -> PageRankResult:
+    """Damped PageRank with dangling-mass redistribution over an edge list.
+
+    ``edges``: DataFrame[src long, dst long]. Self-loops and duplicate
+    edges are kept (duplicates weight the contribution, matching the
+    multigraph reading of an edge list); pass ``edges.distinct()`` for
+    simple-graph semantics.
+
+    ``tol``: optional early stop on L1(rank_t+1 - rank_t) — costs one extra
+    join+action per iteration, so leave None for fixed-iteration runs.
+    """
+    spark = edges.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    nodes = _nodes(edges).repartition(partitions, "id").persist()
+    n = nodes.count()
+    if n == 0:
+        return PageRankResult(ranks=nodes.withColumn("rank", F.lit(0.0)), num_nodes=0, iterations_run=0)
+
+    # links: one row per edge with the emitting node's out-degree, partitioned
+    # on the join key once and reused by every iteration's join.
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    links = (
+        edges.join(out_deg, "src")
+        .select(F.col("src").alias("id"), "dst", "deg")
+        .repartition(partitions, "id")
+        .persist()
+    )
+    links.count()  # materialize once
+
+    # Dangling = nodes with no out-edges (the reference's sink node 0 is the
+    # special case; reference pageRank_v2.java:35,216-222).
+    dangling = nodes.join(out_deg.select(F.col("src").alias("id")), "id", "left_anti").persist()
+
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = cut_lineage(ranks)
+
+    result = PageRankResult(ranks=ranks, num_nodes=n, iterations_run=0)
+    base = (1.0 - damping) / n
+
+    for it in range(num_iterations):
+        d_mass_row = (
+            ranks.join(dangling, "id", "left_semi").agg(F.sum("rank").alias("m")).first()
+        )
+        d_mass = d_mass_row["m"] or 0.0
+        result.dangling_mass_per_iter.append(d_mass)
+
+        contribs = (
+            ranks.join(links, "id")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(d_mass / n))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == num_iterations - 1:
+            new_ranks = cut_lineage(new_ranks)
+
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "id")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+                .first()["d"]
+            )
+            result.l1_deltas.append(delta)
+            ranks = new_ranks
+            result.iterations_run = it + 1
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+            result.iterations_run = it + 1
+
+    result.ranks = ranks
+    return result
+
+
+def reference_init_state(edges: DataFrame, k: int) -> DataFrame:
+    """The reference's *init pass* ("Links-Ranks-Gen" job) as typed state.
+
+    Reproduces the semantics pinned by the golden output
+    (reference output/check3/part-r-00000): uniform init rank 1/k², each
+    node scatters its FULL rank to each out-neighbor (no out-degree
+    division — reference pageRank_v2.java:163; valid on its graph where
+    outdeg ≡ 1), chain heads get explicit contrib 0.0, and the sink node 0
+    is excluded from the output (its mass goes to the dangling counter).
+
+    Returns DataFrame[id long, rank double, contrib double, out array<long>]
+    sorted by id (the MR shuffle's LongWritable key order, SURVEY §2.7 O1).
+    """
+    n = k * k
+    init = 1.0 / n
+    contribs = (
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.lit(init)).alias("contrib"))
+    )
+    adjacency = edges.groupBy(F.col("src").alias("id")).agg(
+        F.array_sort(F.collect_set("dst")).alias("out")
+    )
+    return (
+        adjacency.join(contribs, "id", "left")
+        .select(
+            "id",
+            F.lit(init).alias("rank"),
+            F.coalesce("contrib", F.lit(0.0)).alias("contrib"),
+            "out",
+        )
+        .filter(F.col("id") != 0)
+        .orderBy("id")
+    )
+
+
+def reference_dangling_mass(edges: DataFrame, k: int) -> float:
+    """Init-pass dangling mass: total contribution arriving at sink node 0
+    (the value the reference routes into Counters.DanglingMass,
+    pageRank_v2.java:216-222)."""
+    n = k * k
+    row = (
+        edges.filter(F.col("dst") == 0)
+        .agg(F.sum(F.lit(1.0 / n)).alias("m"))
+        .first()
+    )
+    return row["m"] or 0.0

@@ -1,0 +1,142 @@
+"""Graph queries over the driver corpus, with DuckDB oracles.
+
+The corpus has no native edge table, so the graph is derived
+deterministically from the relational tables: a customer→supplier edge for
+every distinct (o_custkey, l_suppkey) pair that co-occurs in an order.
+Supplier node ids are offset by 1_000_000 to keep the two key spaces
+disjoint. Suppliers have no out-edges, so the whole supplier side is
+dangling — this exercises the reference's dangling-mass path
+(pageRank_v2.java:216-222) on real data.
+
+Every query here has an equivalent ANSI-SQL oracle; PageRank's oracle is a
+programmatically unrolled CTE chain (one CTE pair per iteration), all rank
+arithmetic in DOUBLE to match the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.graph.ops import (
+    dangling_nodes,
+    degree_histogram,
+    in_degrees,
+    invert_edges,
+    out_degrees,
+)
+from page_rank_mapreduce_java_spark.graph.pagerank import pagerank
+
+SUPPLIER_OFFSET = 1_000_000
+PAGERANK_ITERS = 5
+DAMPING = 0.85
+
+EDGES_SQL = f"""
+    SELECT DISTINCT o_custkey AS src, l_suppkey + {SUPPLIER_OFFSET} AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPPLIER_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pagerank(derived_edges(spark, sf_dir), num_iterations=PAGERANK_ITERS, damping=DAMPING)
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pagerank(derived_edges(spark, sf_dir), num_iterations=PAGERANK_ITERS, damping=DAMPING)
+    ranked = res.ranks.select("id", F.round("rank", 8).alias("rank"))
+    return ranked.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+
+
+def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return out_degrees(derived_edges(spark, sf_dir))
+
+
+def q_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return in_degrees(derived_edges(spark, sf_dir))
+
+
+def q_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dangling_nodes(derived_edges(spark, sf_dir))
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_histogram(derived_edges(spark, sf_dir))
+
+
+def q_invert_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return invert_edges(derived_edges(spark, sf_dir))
+
+
+def _pagerank_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
+    base = f"""WITH edges AS ({EDGES_SQL}),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE)/nn.n AS rank FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(
+            f""",
+d{i} AS (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+         FROM r{p} r LEFT JOIN deg d ON r.id = d.id WHERE d.id IS NULL),
+c{i} AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS contrib
+         FROM r{p} r JOIN edges e ON r.id = e.src JOIN deg d ON d.id = e.src
+         GROUP BY 1),
+r{i} AS (SELECT n.id,
+         CAST({1.0 - damping} AS DOUBLE)/nn.n
+         + CAST({damping} AS DOUBLE)
+           * (COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) + d{i}.dm/nn.n) AS rank
+         FROM nodes n CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN c{i} c ON n.id = c.id)"""
+        )
+    return base + "".join(steps) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+QUERIES = {
+    "graph_pagerank": q_pagerank,
+    "graph_pagerank_topk": q_pagerank_topk,
+    "graph_out_degrees": q_out_degrees,
+    "graph_in_degrees": q_in_degrees,
+    "graph_dangling_nodes": q_dangling,
+    "graph_degree_histogram": q_degree_histogram,
+    "graph_invert_edges": q_invert_edges,
+}
+
+ORACLES = {
+    "graph_pagerank": _pagerank_oracle_sql(),
+    "graph_pagerank_topk": (
+        _pagerank_oracle_sql().replace(
+            f"SELECT id, ROUND(rank, 8) AS rank FROM r{PAGERANK_ITERS}",
+            f"SELECT id, ROUND(rank, 8) AS rank FROM r{PAGERANK_ITERS} "
+            "ORDER BY rank DESC, id ASC LIMIT 20",
+        )
+    ),
+    "graph_out_degrees": f"WITH edges AS ({EDGES_SQL}) "
+    "SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY 1",
+    "graph_in_degrees": f"WITH edges AS ({EDGES_SQL}) "
+    "SELECT dst AS id, count(*) AS in_degree FROM edges GROUP BY 1",
+    "graph_dangling_nodes": f"""WITH edges AS ({EDGES_SQL}),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
+        SELECT n.id FROM nodes n LEFT JOIN (SELECT DISTINCT src FROM edges) e
+        ON n.id = e.src WHERE e.src IS NULL""",
+    "graph_degree_histogram": f"""WITH edges AS ({EDGES_SQL}),
+        deg AS (SELECT src, count(*) AS out_degree FROM edges GROUP BY 1)
+        SELECT out_degree, count(*) AS num_nodes FROM deg GROUP BY 1""",
+    "graph_invert_edges": f"WITH edges AS ({EDGES_SQL}) "
+    "SELECT dst AS src, src AS dst FROM edges",
+}
