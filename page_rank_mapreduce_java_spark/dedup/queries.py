@@ -1,0 +1,265 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables
+(SURVEY.md §7 M5; north-star LLM-data-pipeline surface), all with DuckDB
+oracles via the portable md5-based hash family (functions/hashes.py).
+
+Scale design (the 100 TB story):
+- exact dedup: hash-groupBy — one shuffle on a 60-bit digest, no text
+  comparison; window keeps the smallest doc_id per group.
+- MinHash: shingle explode → 16 min-aggregates (map-side partial, one
+  shuffle on doc_id). Signature width is a constant; no per-pair work.
+- LSH: band buckets turn O(n²) near-dup search into an equi-join on
+  (band, bucket-hash) — only colliding docs are ever paired. Skewed
+  buckets (boilerplate docs) are AQE skew-join territory.
+- blocked Jaccard / cosine verification: candidate pairing is always
+  through an equi-join key (block or bucket), never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.functions.hashes import (
+    LSH_BANDS,
+    NUM_MINHASH,
+    md5_long,
+    md5_long_sql,
+    minhash_slot,
+    minhash_slot_sql,
+)
+from page_rank_mapreduce_java_spark.functions.textfn import word_shingles, shingles_sql, words
+from page_rank_mapreduce_java_spark.functions.vectors import cosine, cosine_sql
+
+WORDS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: doc → (keeper, is_dup)."""
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.md5("text").alias("digest"))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("is_dup", (F.row_number().over(w) > 1).cast("long"))
+        .select("doc_id", "keeper", "is_dup")
+    )
+
+
+# --- MinHash / LSH ------------------------------------------------------------
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sh = (
+        d.select("doc_id", words(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(word_shingles("w")).alias("s"))
+    )
+    base = md5_long(F.col("s"))
+    return sh.groupBy("doc_id").agg(
+        *[F.min(minhash_slot(base, i)).alias(f"mh{i}") for i in range(NUM_MINHASH)]
+    )
+
+
+def _signatures_sql() -> str:
+    mins = ",\n               ".join(
+        f"min({minhash_slot_sql('b', i)}) AS mh{i}" for i in range(NUM_MINHASH)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+        sh AS (SELECT doc_id, unnest({shingles_sql('w')}) AS s FROM w),
+        hashed AS (SELECT doc_id, {md5_long_sql('s')} AS b FROM sh)
+        SELECT doc_id, {mins}
+        FROM hashed GROUP BY doc_id
+    """
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir)
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    sig = _signatures(spark, sf_dir)
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+    bands = None
+    for j in range(LSH_BANDS):
+        cols = [F.col(f"mh{j * rows_per_band + k}").cast("string") for k in range(rows_per_band)]
+        b = sig.select(
+            "doc_id", F.lit(j).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+    band_selects = []
+    for j in range(LSH_BANDS):
+        concat = " || ',' || ".join(
+            f"CAST(mh{j * rows_per_band + k} AS VARCHAR)" for k in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT doc_id, {j} AS band, md5({concat}) AS bh FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH sig AS ({_signatures_sql()}),
+        bands AS ({bands})
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+        WHERE x.doc_id < y.doc_id
+    """
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the word multiset (Charikar'02 shape): bit j is
+    the sign of the summed ±1 votes of each word-hash's j-th bit."""
+    d = load_table(spark, "documents", sf_dir)
+    wx = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    wx = wx.select("doc_id", (md5_long(F.col("word")) % F.lit(2**32)).alias("h"))
+    bits = wx.crossJoin(spark.range(32).withColumnRenamed("id", "j"))
+    pow2 = F.pow(F.lit(2.0), F.col("j")).cast("long")
+    sign = (F.expr("h div CAST(pow(2.0, j) AS LONG)") % 2) * 2 - 1
+    votes = bits.groupBy("doc_id", "j").agg(F.sum(sign).alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, pow2).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+SIMHASH_SQL = f"""
+    WITH wx AS (SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents),
+    hashed AS (SELECT doc_id, {md5_long_sql('word')} % 4294967296 AS h FROM wx),
+    bits AS (SELECT doc_id, h, j FROM hashed CROSS JOIN range(32) t(j)),
+    votes AS (SELECT doc_id, j,
+                     SUM(((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1) AS v
+              FROM bits GROUP BY doc_id, j)
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+
+# --- blocked n-gram Jaccard ---------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard within (lang, length-bucket) blocks.
+
+    Blocking keeps the pair count linear-ish; outputs per-block pair
+    stats in exact integer/rational arithmetic (ppm sums) so they hash
+    identically across engines.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    docs = (
+        d.select("doc_id", "lang", F.expr("n_chars div 100").alias("bucket"),
+                 words(F.col("text")).alias("w"))
+        .select("doc_id", "lang", "bucket", word_shingles("w").alias("sh"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.lang").alias("lang"), F.col("a.bucket").alias("bucket"), jac.alias("jac"))
+    )
+    return pairs.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(F.round(F.col("jac"), 6)).alias("max_jaccard"),
+        F.sum(F.round(F.col("jac") * 1e6).cast("long")).alias("jaccard_ppm"),
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket, {shingles_sql('w')} AS sh
+      FROM (SELECT doc_id, lang, n_chars, {WORDS_SQL} AS w FROM documents)
+    ),
+    pairs AS (
+      SELECT a.lang, a.bucket,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    j AS (SELECT lang, bucket,
+                 CASE WHEN u > 0 THEN CAST(i AS DOUBLE) / CAST(u AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS jac
+          FROM pairs)
+    SELECT lang, bucket, COUNT(*) AS n_pairs,
+           MAX(ROUND(jac, 6)) AS max_jaccard,
+           SUM(CAST(ROUND(jac * 1e6, 0) AS BIGINT)) AS jaccard_ppm
+    FROM j GROUP BY lang, bucket
+"""
+
+
+# --- embedding cosine near-dup -------------------------------------------------
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection over embeddings, blocked by label: per-label pair
+    stats + count of pairs above 0.8 cosine."""
+    e = load_table(spark, "embeddings", sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.label").alias("label"), cos.alias("cos"))
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("cos") >= 0.8).cast("long")).alias("n_near_dup"),
+        F.max(F.round(F.col("cos"), 6)).alias("max_cos"),
+    )
+
+
+EMB_COSINE_SQL = f"""
+    SELECT a.label AS label, COUNT(*) AS n_pairs,
+           SUM(CASE WHEN {cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+                    THEN 1 ELSE 0 END) AS n_near_dup,
+           MAX(ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6)) AS max_cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_signatures": q_dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY digest) AS keeper,
+               CAST(row_number() OVER (PARTITION BY digest ORDER BY doc_id) > 1
+                    AS BIGINT) AS is_dup
+        FROM (SELECT doc_id, md5(text) AS digest FROM documents)
+    """,
+    "dedup_minhash_signatures": _signatures_sql(),
+    "dedup_minhash_lsh_pairs": _lsh_pairs_sql(),
+    "dedup_simhash": SIMHASH_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": EMB_COSINE_SQL,
+}

@@ -1,0 +1,170 @@
+"""Text-analysis + multimodal-plumbing driver-contract queries.
+
+Language-ID is the classic stopword/marker-overlap heuristic; quality
+scoring combines length/stopword/char-class ratios; the fingerprint is a
+31-polynomial rolling hash over word hashes (sequential reduction —
+identical in Spark's ``aggregate`` and DuckDB's ``list_reduce``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.functions.hashes import MERSENNE31, md5_long_sql
+from page_rank_mapreduce_java_spark.functions.textfn import LANG_MARKERS, STOPWORDS, words
+
+WORDS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(words(F.col("text")))).cast("long").alias("n_unique"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    w = words(F.col("text"))
+    n_tok = F.size(w).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long")
+    n_alpha = F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", "")).cast("long")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    alpha_ratio = n_alpha.cast("double") / F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(
+            stop_ratio * 0.5 + alpha_ratio * 0.3 + F.least(n_tok, F.lit(100)).cast("double") / 100.0 * 0.2,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    uw = F.array_distinct(words(F.col("text")))
+    scores = {
+        lang: F.size(F.array_intersect(uw, F.array(*[F.lit(m) for m in marks])))
+        for lang, marks in LANG_MARKERS.items()
+    }
+    s = {k: v.cast("long") for k, v in scores.items()}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["zh"]), "de")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).cast("long").alias("matches_label"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash: acc = (acc·31 + md5_long(word) mod P) mod P."""
+    d = load_table(spark, "documents", sf_dir)
+    w = words(F.col("text"))
+    fp = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: (
+            acc * 31 + F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long") % MERSENNE31
+        ) % MERSENNE31,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text → utf-8 blob → byte length + sha256.
+    The real decode path for image/audio blobs lives in multimodal/media.py
+    (stubbed decoders, real Spark plumbing); this query proves the binary
+    type round-trips with a cross-engine-stable digest."""
+    d = load_table(spark, "documents", sf_dir)
+    blob = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha"),
+    )
+
+
+QUERIES = {
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_blob_stats": q_multimodal_blob_stats,
+}
+
+_stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+_marker_scores = {
+    lang: f"CAST(len(list_intersect(uw, [{', '.join(repr(m) for m in marks)}])) AS BIGINT)"
+    for lang, marks in LANG_MARKERS.items()
+}
+
+ORACLES = {
+    "text_token_count": f"""
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_unique
+        FROM (SELECT doc_id, text, {WORDS_SQL} AS w FROM documents)
+    """,
+    "text_quality": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(w, x -> x IN ({_stoplist}))) AS BIGINT) AS n_stop,
+                 CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM (SELECT doc_id, text, {WORDS_SQL} AS w FROM documents)
+        )
+        SELECT doc_id, n_tok AS n_tokens,
+               ROUND(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS stopword_ratio,
+               ROUND(CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS alpha_ratio,
+               ROUND(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) * 0.5
+                     + CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) * 0.3
+                     + CAST(least(n_tok, 100) AS DOUBLE) / 100.0 * 0.2, 6) AS quality_score
+        FROM t
+    """,
+    "text_lang_id": f"""
+        WITH t AS (SELECT doc_id, lang, list_distinct({WORDS_SQL}) AS uw FROM documents),
+        s AS (SELECT doc_id, lang,
+                     {_marker_scores['en']} AS s_en, {_marker_scores['de']} AS s_de,
+                     {_marker_scores['es']} AS s_es, {_marker_scores['zh']} AS s_zh
+              FROM t)
+        SELECT doc_id,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS pred_lang,
+               CAST(CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END = lang AS BIGINT) AS matches_label
+        FROM s
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform({WORDS_SQL},
+                     x -> {md5_long_sql('x')} % {MERSENNE31})),
+                 (acc, x) -> (acc * 31 + x) % {MERSENNE31}) AS fingerprint
+        FROM documents
+    """,
+    "multimodal_blob_stats": """
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents
+    """,
+}

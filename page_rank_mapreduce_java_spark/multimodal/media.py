@@ -1,0 +1,151 @@
+"""Multimodal column plumbing (SURVEY.md §7 M5 / north-star).
+
+Media (image/audio/video) is modeled as an opaque ``binary`` payload column
+plus a typed metadata struct — the Spark-side schema, partitioning, Arrow
+batch shapes, and UDF signatures are real and tested. The actual
+pixel/sample decoding is STUBBED (image/audio libraries are not in this
+container): a deterministic synthetic codec stands in, and feeding real
+media bytes raises NotImplementedError at the marked point. Swapping in
+PIL/ffmpeg later changes only the inside of ``_decode_payload``.
+
+Everything runs through ``mapInPandas`` (Arrow-batched, partition-parallel,
+no driver involvement) — the correct shape for 100 TB of blobs: one task
+per input split, constant memory per batch, no per-row Python overhead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # 'image' | 'audio'
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = b"SYNM"  # synthetic-media header
+
+
+def synthesize_media(spark: SparkSession, n: int = 64, partitions: int = 8) -> DataFrame:
+    """Deterministic fake media table: payload = MAGIC + packed dims +
+    sha-derived bytes. Generated distributed via spark.range (no driver
+    materialization) so it scales like a real scan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = "image" if mid % 2 == 0 else "audio"
+                w, h = 16 + mid % 32, 16 + (mid * 7) % 32
+                sr, dur = 8000 + (mid % 4) * 4000, 100 + mid % 900
+                body = hashlib.sha256(str(mid).encode()).digest()
+                payload = _MAGIC + struct.pack("<iiiq", w, h, sr, dur) + body
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "width": w if kind == "image" else None,
+                            "height": h if kind == "image" else None,
+                            "sample_rate": sr if kind == "audio" else None,
+                            "duration_ms": dur,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int, int]:
+    """STUB decode. Understands only the synthetic codec; real media bytes
+    hit the NotImplementedError — replace this function's body with
+    PIL/soundfile/ffmpeg to productionize."""
+    if payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding requires image/audio libs not present in "
+            "this environment; only the synthetic SYNM codec is supported"
+        )
+    return struct.unpack("<iiiq", payload[4:24])
+
+
+DECODED_SCHEMA = (
+    "media_id LONG, kind STRING, width INT, height INT, sample_rate INT, "
+    "duration_ms LONG, payload_bytes LONG, digest STRING"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode payload headers into typed columns (Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                w, h, sr, dur = _decode_payload(bytes(r["payload"]))
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "width": w,
+                        "height": h,
+                        "sample_rate": sr,
+                        "duration_ms": dur,
+                        "payload_bytes": len(r["payload"]),
+                        "digest": hashlib.sha256(bytes(r["payload"])).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic feature vectors from payload bytes (stand-in for a
+    real embedding model; same Arrow plumbing, same output schema)."""
+    schema = f"media_id LONG, feature ARRAY<FLOAT>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, r in pdf.iterrows():
+                d = hashlib.sha256(bytes(r["payload"])).digest()
+                vec = [(d[i % 32] - 128) / 128.0 for i in range(dim)]
+                feats.append({"media_id": r["media_id"], "feature": vec})
+            yield pd.DataFrame(feats)
+
+    return df.mapInPandas(run, schema)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 100) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp —
+    pure DataFrame ops (sequence + explode), no Python in the path."""
+    return (
+        df.select("media_id", F.col("meta.duration_ms").alias("dur"))
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("dur"), F.lit(every_ms))).alias("frame_ms"),
+        )
+    )

@@ -1,0 +1,75 @@
+"""Streaming surface: batch/stream parity, session windows, custom state."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.streaming.events import (
+    materialize_stream_source,
+    read_event_stream,
+    run_stream_to_memory,
+    running_user_totals,
+    session_windows,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_path(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    materialize_stream_source(spark, sf_dir, d)
+    return d
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_dir, stream_path):
+    stream = tumbling_counts(read_event_stream(spark, stream_path))
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "tumbling")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    batch = tumbling_counts(load_table(spark, "events", sf_dir))
+    exp = {
+        (r.window_start, r.event_type): (r.n, r.total_value) for r in batch.collect()
+    }
+    assert got == exp
+    assert len(exp) > 10
+
+
+def test_session_windows_stream(spark, stream_path):
+    stream = session_windows(read_event_stream(spark, stream_path))
+    run_stream_to_memory(stream, "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) > 0
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_running_user_totals_stateful(spark, sf_dir, stream_path):
+    stream = running_user_totals(read_event_stream(spark, stream_path))
+    q = stream.writeStream.outputMode("update").format("memory").queryName("totals").start()
+    q.processAllAvailable()
+    q.stop()
+    # last update per user == full batch aggregate
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+            " max_by(total_cents, n_events) AS total_cents FROM totals GROUP BY user_id"
+        ).collect()
+    }
+    exp = {
+        r.user_id: (r.n, r.cents)
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == exp
