@@ -12,9 +12,12 @@ Spark-idiomatic plan replaces all of that:
   (``ranks ⋈ links`` on id, then ``groupBy(dst).sum``), which is exactly the
   GraphX/GraphFrames triplet step (Gonzalez et al., OSDI'14);
 - the dangling-mass counter (reference pageRank_v2.java:216-222, :79-83)
-  becomes a driver-side scalar from a small aggregate action per iteration;
+  becomes a broadcast 1-row aggregate folded into the same per-iteration
+  job (no driver round-trip; the reference needed a counter RPC per job);
 - lineage is cut every iteration with ``localCheckpoint`` — the #1
-  Spark-specific hazard for iterative dataflow (SURVEY.md §4.3).
+  Spark-specific hazard for iterative dataflow (SURVEY.md §4.3). The
+  checkpoint doubles as the one action that executes the iteration, so
+  the whole superstep is exactly ONE Spark job.
 
 Scale notes (100 TB design point): ranks and links are co-partitioned on
 the join key with the same partition count, so the per-iteration join
@@ -65,8 +68,8 @@ def pagerank(
     num_iterations: int = 10,
     damping: float = 0.85,
     tol: float | None = None,
-    checkpoint_every: int = 1,
     partitions: int | None = None,
+    record_dangling: bool = False,
 ) -> PageRankResult:
     """Damped PageRank with dangling-mass redistribution over an edge list.
 
@@ -75,20 +78,35 @@ def pagerank(
     multigraph reading of an edge list); pass ``edges.distinct()`` for
     simple-graph semantics.
 
-    ``tol``: optional early stop on L1(rank_t+1 - rank_t) — costs one extra
-    join+action per iteration, so leave None for fixed-iteration runs.
+    One Spark job per iteration: the dangling 1-row aggregate rides the
+    plan as a broadcast, and the eager localCheckpoint executes it.
+    ``tol``/``record_dangling`` add one small action per iteration each.
+
+    Scale: ``links`` is shuffled once onto the join key and persisted —
+    iterations re-shuffle only the rank vector (8·N bytes·3 cols), never
+    the edges. Contribution sums aggregate map-side before the exchange.
     """
     spark = edges.sparkSession
-    if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    nodes = _nodes(edges).repartition(partitions, "id").persist()
-    n = nodes.count()
-    if n == 0:
-        return PageRankResult(ranks=nodes.withColumn("rank", F.lit(0.0)), num_nodes=0, iterations_run=0)
+    # The edge input may itself be an expensive plan (e.g. a join); it is
+    # read twice during setup (degree aggregation + probe side), so cache
+    # it for the setup phase only. MEMORY_AND_DISK: spills, never OOMs.
+    edges = edges.persist()
+
+    if partitions is None:
+        # Size the iteration-state partitioning to the data: ~75k edge rows
+        # per partition, capped by the session's shuffle parallelism. On a
+        # real cluster spark.sql.shuffle.partitions is set to total-cores×k,
+        # so big graphs use full width while small ones avoid paying
+        # hundreds of near-empty tasks per superstep.
+        edge_count = edges.count()
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = max(1, min(cap, -(-edge_count // 75_000)))
 
     # links: one row per edge with the emitting node's out-degree, partitioned
-    # on the join key once and reused by every iteration's join.
+    # on the join key once and reused by every iteration's join. Everything
+    # else (nodes, dangling set) derives from the persisted links so an
+    # expensive upstream edge computation runs exactly once.
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     links = (
         edges.join(out_deg, "src")
@@ -96,11 +114,22 @@ def pagerank(
         .repartition(partitions, "id")
         .persist()
     )
-    links.count()  # materialize once
+    nodes = (
+        links.select("id")
+        .unionByName(links.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(partitions, "id")
+        .persist()
+    )
+    n = nodes.count()
+    edges.unpersist()  # links/nodes hold everything the loop needs
+    if n == 0:
+        links.unpersist()
+        return PageRankResult(ranks=nodes.withColumn("rank", F.lit(0.0)), num_nodes=0, iterations_run=0)
 
     # Dangling = nodes with no out-edges (the reference's sink node 0 is the
     # special case; reference pageRank_v2.java:35,216-222).
-    dangling = nodes.join(out_deg.select(F.col("src").alias("id")), "id", "left_anti").persist()
+    dangling = nodes.join(links.select("id"), "id", "left_anti").persist()
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     ranks = cut_lineage(ranks)
@@ -109,11 +138,15 @@ def pagerank(
     base = (1.0 - damping) / n
 
     for it in range(num_iterations):
-        d_mass_row = (
-            ranks.join(dangling, "id", "left_semi").agg(F.sum("rank").alias("m")).first()
+        # 1-row dangling-mass aggregate, broadcast into the update — stays
+        # inside this iteration's single job (contrast: the reference's
+        # Counter needed a job boundary + client RPC to move this scalar).
+        d_df = (
+            ranks.join(dangling, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
-        d_mass = d_mass_row["m"] or 0.0
-        result.dangling_mass_per_iter.append(d_mass)
+        if record_dangling:
+            result.dangling_mass_per_iter.append(d_df.first()["dm"])
 
         contribs = (
             ranks.join(links, "id")
@@ -123,16 +156,17 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(d_df))
             .select(
                 "id",
                 (
                     F.lit(base)
-                    + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(d_mass / n))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == num_iterations - 1:
-            new_ranks = cut_lineage(new_ranks)
+        new_ranks = cut_lineage(new_ranks)  # the one action per iteration
 
         if tol is not None:
             delta = (
@@ -151,6 +185,9 @@ def pagerank(
             result.iterations_run = it + 1
 
     result.ranks = ranks
+    nodes.unpersist()
+    links.unpersist()
+    dangling.unpersist()
     return result
 
 

@@ -1,0 +1,89 @@
+"""Physical-plan quality gates (SURVEY.md §4 / the 100 TB design point).
+
+These tests pin Catalyst plan *shape*, not results: pushdown, pruning,
+broadcast strategy, codegen, and the absence of Python in relational
+paths. A change that silently turns a broadcast join into a cartesian
+product or drops a pushed filter fails here before it fails at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from page_rank_mapreduce_java_spark.operators import relational
+from page_rank_mapreduce_java_spark.graph import queries as gq
+from page_rank_mapreduce_java_spark.dedup import queries as dq
+from page_rank_mapreduce_java_spark.plans.explain import (
+    formatted_plan,
+    has_pushed_filter,
+    read_schema_columns,
+    scan_pushed_filters,
+    uses_broadcast_join,
+    uses_python_udf,
+)
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    df = relational.q_scan_filter_project(spark, sf_dir)
+    pushed = scan_pushed_filters(df)
+    assert "l_quantity" in pushed and "l_shipdate" in pushed
+    cols = read_schema_columns(df)
+    # projection pruning: only the 4 selected + 2 filter columns are read
+    assert set(cols) <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate",
+    }
+    assert "l_comment" not in cols and "l_partkey" not in cols
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = relational.q_join_broadcast_region_revenue(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_semi_and_anti_join_plan_shape(spark, sf_dir):
+    semi = formatted_plan(relational.q_join_semi(spark, sf_dir))
+    anti = formatted_plan(relational.q_join_anti(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    """The user_id equi-key must anchor the range join — a cartesian
+    product here would be quadratic at scale."""
+    plan = formatted_plan(relational.q_join_range_event_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_top25_uses_take_ordered(spark, sf_dir):
+    plan = formatted_plan(relational.q_order_limit_top25(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no full global sort for LIMIT
+
+
+def test_no_python_in_relational_paths(spark, sf_dir):
+    for name, fn in {**relational.QUERIES, **gq.QUERIES, **dq.QUERIES}.items():
+        df = fn(spark, sf_dir)
+        assert not uses_python_udf(df), f"{name} lowered into Python"
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes (and codegens) only on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen'd spans in the executed plan
+    assert "*(1)" in executed
+    # partial + final aggregation around the exchange (map-side combine)
+    assert executed.count("HashAggregate") >= 2
+
+
+def test_pagerank_iteration_shuffles_ranks_not_links(spark):
+    """After setup, each superstep's exchanges move rank-vector-sized data;
+    the links table is read from storage-level cache (InMemoryTableScan),
+    not re-shuffled."""
+    from page_rank_mapreduce_java_spark.graph.generators import chain_edges
+    from page_rank_mapreduce_java_spark.graph.pagerank import pagerank
+
+    res = pagerank(chain_edges(spark, 10), num_iterations=2)
+    # The result plan is a checkpoint scan — constant size, no lineage back
+    # to the edge join (the §4.3 plan-explosion guard).
+    plan = formatted_plan(res.ranks)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
