@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry() -> tuple[dict, dict]:
     from page_rank_mapreduce_java_spark.graph import queries as graph_queries
-    from page_rank_mapreduce_java_spark.operators import relational
+    from page_rank_mapreduce_java_spark.operators import relational, relational2
 
-    modules = [graph_queries, relational]
+    modules = [graph_queries, relational, relational2]
     try:  # extension surfaces land incrementally; never break the contract
         from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
 

@@ -1,0 +1,105 @@
+"""CLI entry point (SURVEY.md §2.10 C4).
+
+The reference is driven as
+``hadoop jar Page-Rank-MapReduce.jar prJava.PageRank_v2 <Input> <Output>
+<maxLinks> <Iterations>`` (reference pageRank_v2.java:45-54, Makefile:48).
+The equivalent here:
+
+    python -m page_rank_mapreduce_java_spark pagerank \
+        --input input/input-graph.txt --output output/ranks \
+        --iterations 10 --damping 0.85 [--text-format]
+
+plus a ``chaingen`` subcommand for the reference's synthetic k-chains
+graph (Makefile:23 ``aws.k``) and ``init-state`` for the golden init pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="page_rank_mapreduce_java_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("pagerank", help="iterative PageRank over a CSV edge list")
+    pr.add_argument("--input", required=True, help="CSV edge list dir/file (src,dst)")
+    pr.add_argument("--output", required=True, help="output directory")
+    pr.add_argument("--iterations", type=int, default=10)
+    pr.add_argument("--damping", type=float, default=0.85)
+    pr.add_argument("--tol", type=float, default=None, help="early-stop L1 tolerance")
+    pr.add_argument("--partitions", type=int, default=None)
+    pr.add_argument(
+        "--text-format",
+        action="store_true",
+        help="write id,rank CSV text instead of parquet",
+    )
+
+    cg = sub.add_parser("chaingen", help="generate the reference's k-chains graph")
+    cg.add_argument("--k", type=int, required=True)
+    cg.add_argument("--output", required=True)
+
+    ins = sub.add_parser(
+        "init-state", help="reference init pass (golden-output text format)"
+    )
+    ins.add_argument("--input", required=True)
+    ins.add_argument("--k", type=int, required=True)
+    ins.add_argument("--output", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from page_rank_mapreduce_java_spark.session import get_spark
+    from page_rank_mapreduce_java_spark.graph.generators import chain_edges
+    from page_rank_mapreduce_java_spark.graph.pagerank import pagerank, reference_init_state
+    from page_rank_mapreduce_java_spark.sources.readers import read_edge_csv
+    from page_rank_mapreduce_java_spark.sources.writers import write_state_text
+
+    spark = get_spark(app_name=f"cli:{args.cmd}")
+
+    if args.cmd == "pagerank":
+        edges = read_edge_csv(spark, args.input)
+        res = pagerank(
+            edges,
+            num_iterations=args.iterations,
+            damping=args.damping,
+            tol=args.tol,
+            partitions=args.partitions,
+        )
+        if args.text_format:
+            (
+                res.ranks.orderBy("id")
+                .select(F.concat_ws(",", F.col("id"), F.col("rank")).alias("value"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(args.output)
+            )
+        else:
+            res.ranks.write.mode("overwrite").parquet(args.output)
+        print(
+            f"pagerank: {res.num_nodes} nodes, {res.iterations_run} iterations "
+            f"-> {args.output}"
+        )
+    elif args.cmd == "chaingen":
+        (
+            chain_edges(spark, args.k)
+            .select(F.concat_ws(",", "src", "dst").alias("value"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(args.output)
+        )
+        print(f"chaingen: k={args.k} ({args.k * args.k} nodes) -> {args.output}")
+    elif args.cmd == "init-state":
+        edges = read_edge_csv(spark, args.input)
+        write_state_text(reference_init_state(edges, args.k), args.output)
+        print(f"init-state: k={args.k} -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,429 @@
+"""Relational operator surface, batch 2: subqueries, statistical and argmax
+aggregates, grouping sets, unpivot, higher-order array functions, extended
+window/string/date/null-handling coverage.
+
+Same determinism conventions as relational.py (exact integer arithmetic
+wherever floats would make hashes engine-dependent — e.g. the scalar
+subquery compares ``cents·n > Σcents`` instead of ``price > avg``, and
+variance is computed from exact Σx/Σx² in cents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+
+
+def _cents(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+# --- subqueries -------------------------------------------------------------
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global mean price. Exact form: compare
+    cents·n > Σcents (integer cross-multiplication, no float average)."""
+    o = load_table(spark, "orders", sf_dir)
+    stats = o.agg(
+        F.sum(_cents("o_totalprice")).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .filter(_cents("o_totalprice") * F.col("n_all") > F.col("total_cents"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery): customers who placed a >400k order."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_correlated_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment count of customers having any urgent order (correlated
+    EXISTS decorrelated into a semi join)."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- statistical / argmax aggregates ----------------------------------------
+
+
+def q_agg_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact integer moments:
+    var = (n·Σx² − (Σx)²) / (n·(n−1)) — order-independent, portable."""
+    c = load_table(spark, "customer", sf_dir)
+    cents = _cents("c_acctbal")
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    var = (
+        (F.col("s2").cast("double") * F.col("n") - F.col("s1").cast("double") * F.col("s1"))
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+        / 10000.0
+    )
+    return g.select(
+        "c_mktsegment",
+        "n",
+        F.round(var, 4).alias("var_bal"),
+        F.round(F.sqrt(var), 4).alias("stddev_bal"),
+    )
+
+
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group, deterministically (window + tiebreak on key) —
+    the portable spelling of max_by."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan space
+    as the DataFrame API)."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("t_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n
+        FROM t_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- reshaping ---------------------------------------------------------------
+
+
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): one row per (part, metric)."""
+    p = load_table(spark, "part", sf_dir)
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) "
+        "AS (metric, value)",
+    )
+
+
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL preserving duplicates, then re-aggregated."""
+    e = load_table(spark, "events", sf_dir)
+    hi = e.filter(F.col("value") > 150).select("event_type")
+    err = e.filter(F.col("event_type") == "error").select("event_type")
+    return hi.unionAll(err).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- higher-order array functions -------------------------------------------
+
+
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform/filter/aggregate over array<float> — all JVM-side."""
+    e = load_table(spark, "embeddings", sf_dir)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n_pos = F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("long")
+    sum_abs = F.aggregate(
+        as_double, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        n_pos.alias("n_positive"),
+        F.round(sum_abs, 6).alias("sum_abs"),
+        F.round(F.element_at(as_double, 1), 6).alias("first_val"),
+    )
+
+
+# --- extended windows ---------------------------------------------------------
+
+
+def q_window_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(_cents("value")).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        ((F.coalesce(nxt, F.lit(0)) - _cents("value")) / 100.0).alias("delta_next"),
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents("c_acctbal")) / 100.0).alias("total_bal"),
+        )
+    )
+
+
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per status, count orders within ±10000 cents of price
+    (value-based frame, not row-based)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(_cents("o_totalprice"))
+        .rangeBetween(-1000000, 1000000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+    )
+
+
+# --- strings / dates / nulls --------------------------------------------------
+
+
+def q_string_pad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_vowels"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("name_snake"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
+        F.repeat(F.lit("-"), F.col("p_size") % 8).alias("size_bar"),
+    )
+
+
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.array_join(
+            F.regexp_extract_all(F.col("p_name"), F.lit(r"[a-z]{5,}"), 0), ","
+        ).alias("long_words"),
+    )
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(F.to_date("o_orderdate"), 3), "yyyy-MM-dd").alias("quarter_later"),
+        (F.weekday("o_orderdate").cast("long") + 1).alias("isodow"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif over an outer join's null region."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = o.groupBy("o_custkey").agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    j = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce((F.col("cents") / 100.0), F.lit(0.0)).alias("spent"),
+        F.nullif(F.coalesce(F.col("cents"), F.lit(0)), F.lit(0)).isNull().cast("long").alias("never_ordered"),
+    )
+
+
+def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of streaming.tumbling_counts (stream/batch parity
+    is tested in tests/test_streaming.py; the oracle certifies the batch
+    side, which is the same code)."""
+    from page_rank_mapreduce_java_spark.streaming.events import tumbling_counts
+
+    return tumbling_counts(load_table(spark, "events", sf_dir))
+
+
+QUERIES = {
+    "subquery_scalar": q_subquery_scalar,
+    "subquery_in": q_subquery_in,
+    "correlated_exists_agg": q_correlated_exists_agg,
+    "agg_stddev_exact": q_agg_stddev_exact,
+    "agg_argmax": q_agg_argmax,
+    "grouping_sets": q_grouping_sets,
+    "unpivot_part_metrics": q_unpivot_part_metrics,
+    "union_all_counts": q_union_all_counts,
+    "array_higher_order": q_array_higher_order,
+    "window_lead_delta": q_window_lead_delta,
+    "window_ntile": q_window_ntile,
+    "window_cume_dist": q_window_cume_dist,
+    "window_range_frame": q_window_range_frame,
+    "string_pad_trim": q_string_pad_trim,
+    "regexp_extract_all": q_regexp_extract_all,
+    "date_arithmetic": q_date_arithmetic,
+    "null_handling": q_null_handling,
+    "events_tumbling_hourly": q_events_tumbling_hourly,
+}
+
+_C = "CAST(round({c} * 100, 0) AS BIGINT)"
+
+
+def _c(col: str) -> str:
+    return _C.format(c=col)
+
+
+ORACLES = {
+    "subquery_scalar": f"""
+        WITH s AS (SELECT SUM({_c('o_totalprice')}) AS total_cents,
+                          COUNT(*) AS n_all FROM orders)
+        SELECT o_orderkey, o_totalprice FROM orders, s
+        WHERE {_c('o_totalprice')} * n_all > total_cents
+    """,
+    "subquery_in": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    "correlated_exists_agg": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """,
+    "agg_stddev_exact": f"""
+        WITH g AS (
+          SELECT c_mktsegment, COUNT(*) AS n,
+                 SUM({_c('c_acctbal')}) AS s1,
+                 SUM({_c('c_acctbal')} * {_c('c_acctbal')}) AS s2
+          FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, n,
+               ROUND((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+                     / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0, 4) AS var_bal,
+               ROUND(sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+                     / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0), 4) AS stddev_bal
+        FROM g
+    """,
+    "agg_argmax": """
+        SELECT c_mktsegment, c_custkey, c_name, c_acctbal FROM customer
+        QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey ASC) = 1
+    """,
+    "grouping_sets": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "unpivot_part_metrics": """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    """,
+    "union_all_counts": """
+        SELECT event_type, COUNT(*) AS n FROM (
+          SELECT event_type FROM events WHERE value > 150
+          UNION ALL
+          SELECT event_type FROM events WHERE event_type = 'error'
+        ) GROUP BY event_type
+    """,
+    "array_higher_order": """
+        SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+               ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                     (acc, x) -> acc + x), 6) AS sum_abs,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val
+        FROM embeddings
+    """,
+    "window_lead_delta": f"""
+        SELECT event_id, user_id,
+               (COALESCE(lead({_c('value')}) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                - {_c('value')}) / 100.0 AS delta_next
+        FROM events
+    """,
+    "window_ntile": f"""
+        WITH q AS (SELECT {_c('c_acctbal')} AS cents,
+                          CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+                               AS BIGINT) AS quartile
+                   FROM customer)
+        SELECT quartile, COUNT(*) AS n, SUM(cents) / 100.0 AS total_bal
+        FROM q GROUP BY quartile
+    """,
+    "window_cume_dist": """
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(cume_dist() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice), 6) AS cd
+        FROM orders
+    """,
+    "window_range_frame": f"""
+        SELECT o_orderkey, o_orderstatus,
+               COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY {_c('o_totalprice')}
+                    RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING)
+               AS n_similar_priced
+        FROM orders
+    """,
+    "string_pad_trim": r"""
+        SELECT p_partkey, lpad(p_brand, 12, '*') AS brand_pad,
+               translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+               regexp_replace(p_name, '\s+', '_', 'g') AS name_snake,
+               split_part(p_type, ' ', 1) AS type_first,
+               repeat('-', CAST(p_size % 8 AS INTEGER)) AS size_bar
+        FROM part
+    """,
+    "regexp_extract_all": """
+        SELECT p_partkey,
+               COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), ','),
+                        '') AS long_words
+        FROM part
+    """,
+    "date_arithmetic": """
+        SELECT o_orderkey,
+               strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS quarter_later,
+               CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        FROM orders
+    """,
+    "null_handling": f"""
+        WITH pc AS (SELECT o_custkey, SUM({_c('o_totalprice')}) AS cents
+                    FROM orders GROUP BY o_custkey)
+        SELECT c_custkey,
+               COALESCE(cents / 100.0, 0.0) AS spent,
+               CAST(nullif(COALESCE(cents, 0), 0) IS NULL AS BIGINT) AS never_ordered
+        FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+    """,
+    "events_tumbling_hourly": f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n,
+               SUM({_c('value')}) / 100.0 AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+}
