@@ -42,9 +42,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
 
-    # Warm the session (JVM classloading, parquet footer caches) on a
-    # trivial action so per-query timings measure the queries.
-    spark.range(1).count()
+    # Warm the session: run every headline query once at the smallest SF
+    # (different data, same code paths) so timings measure steady-state
+    # execution, not JVM classloading / codegen compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is not None:
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,66 @@
+"""Sources/sinks: schema'd CSV, reference state-text format, iteration dirs."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.graph.generators import chain_edges
+from page_rank_mapreduce_java_spark.graph.pagerank import reference_init_state
+from page_rank_mapreduce_java_spark.sources.readers import (
+    read_edge_csv,
+    read_state_text,
+)
+from page_rank_mapreduce_java_spark.sources.writers import (
+    write_iteration,
+    write_state_text,
+)
+
+GOLDEN = """1,U,0.0,2-
+2,U,0.1111111111111111,3-
+3,U,0.1111111111111111,0-
+4,U,0.0,5-
+5,U,0.1111111111111111,6-
+6,U,0.1111111111111111,0-
+7,U,0.0,8-
+8,U,0.1111111111111111,9-
+9,U,0.1111111111111111,0-
+"""
+
+
+def test_edge_csv_roundtrip(spark):
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "edges.csv"), "w") as f:
+        f.write("1,2\n2,3\n3,0\n")
+    df = read_edge_csv(spark, d)
+    assert df.schema.simpleString() == "struct<src:bigint,dst:bigint>"
+    assert sorted((r.src, r.dst) for r in df.collect()) == [(1, 2), (2, 3), (3, 0)]
+
+
+def test_state_text_sink_is_golden_format(spark):
+    d = tempfile.mkdtemp()
+    state = reference_init_state(chain_edges(spark, 3), 3)
+    write_state_text(state, f"{d}/out")
+    part = sorted(glob.glob(f"{d}/out/part-*"))[0]
+    assert open(part).read() == GOLDEN
+
+
+def test_state_text_reader_roundtrip(spark):
+    d = tempfile.mkdtemp()
+    write_state_text(reference_init_state(chain_edges(spark, 3), 3), f"{d}/out")
+    back = read_state_text(spark, f"{d}/out").orderBy("id").collect()
+    assert [r.id for r in back] == list(range(1, 10))
+    assert back[0].contrib == 0.0 and list(back[0].out) == [2]
+    assert abs(back[1].contrib - 1 / 9) < 1e-12
+
+
+def test_write_iteration_dirs(spark):
+    d = tempfile.mkdtemp()
+    df = spark.range(5).select(F.col("id"), F.lit(0.5).alias("rank"))
+    for i in range(2):
+        write_iteration(df, d, i)
+    assert os.path.isdir(f"{d}/iter0") and os.path.isdir(f"{d}/iter1")
+    assert spark.read.parquet(f"{d}/iter1").count() == 5
