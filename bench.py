@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "graph_pagerank",
+    "graph_connected_components",
     "q1_pricing_summary",
     "join_broadcast_region_revenue",
     "join_left_customer_orders",
@@ -28,6 +29,8 @@ HEADLINE = [
     "agg_count_distinct",
     "agg_cube",
     "order_limit_top25",
+    "dedup_minhash_lsh_pairs",
+    "ann_bruteforce_topk",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Further iterative graph algorithms on the PageRank engine's chassis.
+
+Same execution skeleton as pagerank.py (SURVEY.md §7: the GraphFrames-style
+DataFrame loop = Pregel's gather-sum-apply on Spark): a persisted,
+key-partitioned edge relation; per-superstep join + aggregate; lineage cut
+per iteration. All state is integer-typed, so results are exactly
+reproducible in any engine (and DuckDB-oracle-checkable with an unrolled
+CTE chain).
+
+- connected_components: min-label propagation (HashMin, Kiveris et al.'s
+  baseline). Converges in graph-diameter supersteps.
+- bfs_distances: frontier relaxation producing hop counts from a source
+  set (unweighted SSSP).
+
+Scale: identical story to PageRank — edges shuffle once, supersteps
+re-shuffle only the (id, label/dist) state vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.plans.checkpoints import cut_lineage
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 10, partitions: int | None = None
+) -> DataFrame:
+    """Undirected connected components: label = min node id in component.
+
+    Returns DataFrame[id long, component long]. ``max_iterations`` bounds
+    the label-propagation rounds; propagation reaches fixpoint once every
+    shortest path to its component's minimum is covered (≤ diameter).
+    """
+    spark = edges.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = _symmetrize(edges).repartition(partitions, "src").persist()
+    nodes = sym.select(F.col("src").alias("id")).distinct().repartition(partitions, "id").persist()
+    nodes.count()
+
+    labels = cut_lineage(nodes.select("id", F.col("id").alias("component")))
+    for _ in range(max_iterations):
+        nbr_min = (
+            labels.join(sym, labels.id == sym.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        labels = cut_lineage(
+            labels.join(nbr_min, "id", "left").select(
+                "id", F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias("component")
+            )
+        )
+    sym.unpersist()
+    nodes.unpersist()
+    return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Unweighted hop distance from a source id set, following edge
+    direction. Unreached nodes get distance -1.
+
+    Returns DataFrame[id long, dist long].
+    """
+    spark = edges.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ed = edges.repartition(partitions, "src").persist()
+    nodes = (
+        ed.select(F.col("src").alias("id"))
+        .unionByName(ed.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(partitions, "id")
+        .persist()
+    )
+    nodes.count()
+
+    src_ids = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+    dist = cut_lineage(
+        nodes.join(src_ids.withColumn("d0", F.lit(0)), "id", "left").select(
+            "id", F.coalesce("d0", F.lit(-1)).cast("long").alias("dist")
+        )
+    )
+    for _ in range(max_hops):
+        reached = dist.filter(F.col("dist") >= 0)
+        relax = (
+            reached.join(ed, reached.id == ed.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.min("dist") + 1).alias("cand"))
+        )
+        dist = cut_lineage(
+            dist.join(relax, "id", "left").select(
+                "id",
+                F.when(
+                    F.col("dist") < 0, F.coalesce("cand", F.lit(-1))
+                )
+                .otherwise(F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))))
+                .cast("long")
+                .alias("dist"),
+            )
+        )
+    ed.unpersist()
+    nodes.unpersist()
+    return dist

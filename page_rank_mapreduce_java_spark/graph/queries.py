@@ -82,6 +82,65 @@ def q_invert_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return invert_edges(derived_edges(spark, sf_dir))
 
 
+CC_ITERS = 6
+BFS_HOPS = 4
+BFS_SOURCE_MAX = 5  # custkeys ≤ 5 are the BFS source set
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from page_rank_mapreduce_java_spark.graph.algorithms import connected_components
+
+    return connected_components(derived_edges(spark, sf_dir), max_iterations=CC_ITERS)
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from page_rank_mapreduce_java_spark.graph.algorithms import _symmetrize, bfs_distances
+
+    edges = derived_edges(spark, sf_dir)
+    sources = edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
+    return bfs_distances(_symmetrize(edges), sources, max_hops=BFS_HOPS)
+
+
+def _cc_oracle_sql(iters: int = CC_ITERS) -> str:
+    base = f"""WITH edges AS ({EDGES_SQL}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+l0 AS (SELECT id, id AS component FROM (SELECT DISTINCT src AS id FROM sym))"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(
+            f""",
+n{i} AS (SELECT s.dst AS id, MIN(l.component) AS nbr
+         FROM l{p} l JOIN sym s ON l.id = s.src GROUP BY s.dst),
+l{i} AS (SELECT l.id, LEAST(l.component, COALESCE(n.nbr, l.component)) AS component
+         FROM l{p} l LEFT JOIN n{i} n ON l.id = n.id)"""
+        )
+    return base + "".join(steps) + f"\nSELECT id, component FROM l{iters}"
+
+
+def _bfs_oracle_sql(hops: int = BFS_HOPS) -> str:
+    base = f"""WITH edges AS ({EDGES_SQL}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= {BFS_SOURCE_MAX}),
+d0 AS (SELECT n.id,
+       CAST(CASE WHEN n.id IN (SELECT id FROM srcs) THEN 0 ELSE -1 END AS BIGINT) AS dist
+       FROM nodes n)"""
+    steps = []
+    for i in range(1, hops + 1):
+        p = i - 1
+        steps.append(
+            f""",
+r{i} AS (SELECT s.dst AS id, MIN(d.dist) + 1 AS cand
+         FROM d{p} d JOIN sym s ON d.id = s.src WHERE d.dist >= 0 GROUP BY s.dst),
+d{i} AS (SELECT d.id,
+         CAST(CASE WHEN d.dist < 0 THEN COALESCE(r.cand, -1)
+              ELSE LEAST(d.dist, COALESCE(r.cand, d.dist)) END AS BIGINT) AS dist
+         FROM d{p} d LEFT JOIN r{i} r ON d.id = r.id)"""
+        )
+    return base + "".join(steps) + f"\nSELECT id, dist FROM d{hops}"
+
+
 def _pagerank_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
     base = f"""WITH edges AS ({EDGES_SQL}),
 nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
@@ -115,6 +174,8 @@ QUERIES = {
     "graph_dangling_nodes": q_dangling,
     "graph_degree_histogram": q_degree_histogram,
     "graph_invert_edges": q_invert_edges,
+    "graph_connected_components": q_connected_components,
+    "graph_bfs_hops": q_bfs_hops,
 }
 
 ORACLES = {
@@ -139,4 +200,6 @@ ORACLES = {
         SELECT out_degree, count(*) AS num_nodes FROM deg GROUP BY 1""",
     "graph_invert_edges": f"WITH edges AS ({EDGES_SQL}) "
     "SELECT dst AS src, src AS dst FROM edges",
+    "graph_connected_components": _cc_oracle_sql(),
+    "graph_bfs_hops": _bfs_oracle_sql(),
 }

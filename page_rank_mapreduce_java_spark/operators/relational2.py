@@ -262,6 +262,33 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_explode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props → map<string,long> → explode → re-agg.
+    (The corpus has no native map column; this manufactures one the same
+    way a real pipeline ingests semi-structured payloads.)"""
+    e = load_table(spark, "events", sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    kv = e.select(F.explode(m).alias("k", "v"))
+    return kv.groupBy("k").agg(
+        F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with explicit full-partition frames."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first_value("event_id").over(w).alias("first_event"),
+        F.last_value("event_id").over(w).alias("last_event"),
+    ).distinct()
+
+
 def q_events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch equivalent of streaming.tumbling_counts (stream/batch parity
     is tested in tests/test_streaming.py; the oracle certifies the batch
@@ -289,6 +316,8 @@ QUERIES = {
     "regexp_extract_all": q_regexp_extract_all,
     "date_arithmetic": q_date_arithmetic,
     "null_handling": q_null_handling,
+    "map_explode_json": q_map_explode_json,
+    "window_first_last": q_window_first_last,
     "events_tumbling_hourly": q_events_tumbling_hourly,
 }
 
@@ -419,6 +448,20 @@ ORACLES = {
                COALESCE(cents / 100.0, 0.0) AS spent,
                CAST(nullif(COALESCE(cents, 0), 0) IS NULL AS BIGINT) AS never_ordered
         FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+    """,
+    "map_explode_json": """
+        WITH kv AS (SELECT unnest(json_keys(props)) AS k, props FROM events)
+        SELECT k, SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_v,
+               COUNT(*) AS n
+        FROM kv GROUP BY k
+    """,
+    "window_first_last": """
+        SELECT DISTINCT user_id,
+               first_value(event_id) OVER w AS first_event,
+               last_value(event_id) OVER w AS last_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     "events_tumbling_hourly": f"""
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -1,0 +1,51 @@
+"""Connected components + BFS semantics on hand-built graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.graph.algorithms import (
+    _symmetrize,
+    bfs_distances,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src LONG, dst LONG")
+
+
+def test_cc_two_components(spark):
+    # component {1,2,3} and {10,11}; direction must not matter
+    e = _edges(spark, [(1, 2), (3, 2), (10, 11)])
+    got = {r.id: r.component for r in connected_components(e, max_iterations=5).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_chain_propagation_depth(spark):
+    # a path 1-2-3-4-5: min label needs 4 rounds to reach the far end
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = {r.id: r.component for r in connected_components(e, max_iterations=4).collect()}
+    assert set(got.values()) == {1}
+    # with too few rounds the far end hasn't converged yet — documents the
+    # max_iterations/diameter contract
+    partial = {r.id: r.component for r in connected_components(e, max_iterations=1).collect()}
+    assert partial[5] == 4 and partial[1] == 1
+
+
+def test_bfs_directed_vs_symmetrized(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (4, 3)])
+    srcs = spark.createDataFrame([(1,)], "id LONG")
+    directed = {r.id: r.dist for r in bfs_distances(e, srcs, max_hops=3).collect()}
+    assert directed == {1: 0, 2: 1, 3: 2, 4: -1}  # 4 unreachable downstream
+    undirected = {
+        r.id: r.dist for r in bfs_distances(_symmetrize(e), srcs, max_hops=3).collect()
+    }
+    assert undirected == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_multiple_sources_take_min(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (9, 3)])
+    srcs = spark.createDataFrame([(1,), (9,)], "id LONG")
+    got = {r.id: r.dist for r in bfs_distances(e, srcs, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 9: 0}
