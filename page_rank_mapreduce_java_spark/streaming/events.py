@@ -83,6 +83,41 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping (sliding) windows — each event lands in
+    window/slide buckets; state is bounded by the watermark."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def write_stream_foreach_batch(df: DataFrame, out_dir: str) -> None:
+    """Exactly-once-style sink: every micro-batch lands as its own parquet
+    dir keyed by epoch — the idempotent-writer pattern a transactional
+    sink (Delta/Iceberg MERGE) would use on a real deployment."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = df.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count + value total
     via applyInPandasWithState — the engine's template for operators that

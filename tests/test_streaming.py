@@ -14,7 +14,9 @@ from page_rank_mapreduce_java_spark.streaming.events import (
     run_stream_to_memory,
     running_user_totals,
     session_windows,
+    sliding_counts,
     tumbling_counts,
+    write_stream_foreach_batch,
 )
 
 
@@ -47,6 +49,29 @@ def test_session_windows_stream(spark, stream_path):
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_sliding_counts_stream_matches_batch(spark, sf_dir, stream_path):
+    stream = sliding_counts(read_event_stream(spark, stream_path))
+    run_stream_to_memory(stream, "sliding")
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    exp = {
+        (r.window_start, r.event_type): r.n
+        for r in sliding_counts(load_table(spark, "events", sf_dir)).collect()
+    }
+    assert got == exp
+    # every event appears in window/slide = 4 overlapping windows
+    assert sum(got.values()) == 4 * load_table(spark, "events", sf_dir).count()
+
+
+def test_foreach_batch_sink(spark, stream_path, tmp_path):
+    out = str(tmp_path / "fb")
+    write_stream_foreach_batch(read_event_stream(spark, stream_path), out)
+    back = spark.read.parquet(f"{out}/epoch=*")
+    assert back.count() == spark.read.parquet(stream_path).count()
 
 
 def test_running_user_totals_stateful(spark, sf_dir, stream_path):
