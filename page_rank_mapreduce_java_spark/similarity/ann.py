@@ -89,6 +89,86 @@ def lsh_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, centroid-id
+    tiebreak). Centroids broadcast; assignment is one narrow pass over the
+    corpus — the IVF build step. At 100 TB the centroid set comes from a
+    k-means sample; here it is any small DataFrame[centroid_id, cvec]."""
+    scored = corpus.select(id_col, vec_col).join(
+        F.broadcast(centroids), F.lit(True)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(cosine(F.col(vec_col), F.col("cvec"))), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest centroid cells
+    per query and search only their members. The candidate join is an
+    equi-join on centroid_id — the same never-cross-join shape as LSH,
+    with recall tuned by n_probe/n_centroids.
+
+    Centroids are (deterministically) the first ``n_centroids`` corpus
+    vectors by id — swap for k-means output in production; the plan shape
+    is identical.
+    """
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    )
+    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qvec"), F.col("cvec"))), F.asc("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(centroids), F.lit(True))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+
+    members = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec2")
+    ).join(assignment.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    cands = probes.join(members, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qvec"), F.col("cvec2"))), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec2")), 6).alias("cos"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 def lsh_buckets_sql(n_planes: int = 8, dim: int = 64, vec_col: str = "embedding") -> str:
     """DuckDB expression computing the identical bucket value."""
     bits = []

@@ -9,12 +9,15 @@ from page_rank_mapreduce_java_spark.catalog import load_table
 from page_rank_mapreduce_java_spark.functions.vectors import cosine_sql
 from page_rank_mapreduce_java_spark.similarity.ann import (
     brute_force_topk,
+    ivf_topk,
     lsh_buckets,
     lsh_buckets_sql,
 )
 
 N_QUERY_VECS = 8
 TOP_K = 10
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,10 +41,17 @@ def q_ann_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk(e, queries, k=TOP_K, n_probe=IVF_PROBES, n_centroids=IVF_CENTROIDS)
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_bucket_sizes": q_ann_lsh_bucket_sizes,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -65,5 +75,40 @@ ORACLES = {
         SELECT bucket, COUNT(*) AS n_vectors
         FROM (SELECT {lsh_buckets_sql()} AS bucket FROM embeddings)
         GROUP BY bucket
+    """,
+    "ann_ivf_topk": f"""
+        WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                      FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+        assign AS (
+          SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cosine_sql('e.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        probes AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {cosine_sql('q.embedding', 'c.cvec')} DESC,
+                              c.centroid_id ASC) AS rn
+            FROM embeddings q CROSS JOIN cent c
+            WHERE q.vec_id < {N_QUERY_VECS}) WHERE rn <= {IVF_PROBES}),
+        cands AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM probes p JOIN assign a USING (centroid_id)
+          WHERE p.query_id != a.neighbor_id)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos,
+               CAST(rn AS BIGINT) AS rn
+        FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 {cosine_sql('q.embedding', 'n.embedding')} AS cos,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY {cosine_sql('q.embedding', 'n.embedding')} DESC,
+                            c.neighbor_id ASC) AS rn
+          FROM cands c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id)
+        WHERE rn <= {TOP_K}
     """,
 }
