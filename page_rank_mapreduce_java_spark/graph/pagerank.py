@@ -70,6 +70,7 @@ def pagerank(
     tol: float | None = None,
     partitions: int | None = None,
     record_dangling: bool = False,
+    personalize: DataFrame | None = None,
 ) -> PageRankResult:
     """Damped PageRank with dangling-mass redistribution over an edge list.
 
@@ -81,6 +82,11 @@ def pagerank(
     One Spark job per iteration: the dangling 1-row aggregate rides the
     plan as a broadcast, and the eager localCheckpoint executes it.
     ``tol``/``record_dangling`` add one small action per iteration each.
+
+    ``personalize``: optional DataFrame whose first column is a node-id
+    source set S. Teleport mass then resets to uniform-over-S instead of
+    uniform-over-all (personalized PageRank; dangling mass follows the
+    same reset vector). Source ids absent from the graph are ignored.
 
     Scale: ``links`` is shuffled once onto the join key and persisted —
     iterations re-shuffle only the rank vector (8·N bytes·3 cols), never
@@ -131,11 +137,30 @@ def pagerank(
     # special case; reference pageRank_v2.java:35,216-222).
     dangling = nodes.join(links.select("id"), "id", "left_anti").persist()
 
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-    ranks = cut_lineage(ranks)
+    # Reset-probability vector p: uniform, or uniform-over-sources when
+    # personalized. Persisted co-partitioned with nodes; joined (not
+    # recomputed) every superstep.
+    if personalize is not None:
+        srcs = (
+            personalize.select(F.col(personalize.columns[0]).alias("id"))
+            .distinct()
+            .join(nodes, "id", "left_semi")
+        )
+        n_src = srcs.count()
+        if n_src == 0:
+            raise ValueError("personalize set has no ids present in the graph")
+        pvec = (
+            nodes.join(srcs.withColumn("p0", F.lit(1.0 / n_src)), "id", "left")
+            .select("id", F.coalesce("p0", F.lit(0.0)).alias("p"))
+            .repartition(partitions, "id")
+            .persist()
+        )
+    else:
+        pvec = nodes.select("id", F.lit(1.0 / n).alias("p")).persist()
+
+    ranks = cut_lineage(pvec.select("id", F.col("p").alias("rank")))
 
     result = PageRankResult(ranks=ranks, num_nodes=n, iterations_run=0)
-    base = (1.0 - damping) / n
 
     for it in range(num_iterations):
         # 1-row dangling-mass aggregate, broadcast into the update — stays
@@ -155,14 +180,14 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         new_ranks = (
-            nodes.join(contribs, "id", "left")
+            pvec.join(contribs, "id", "left")
             .crossJoin(F.broadcast(d_df))
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - damping) * F.col("p")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") * F.col("p"))
                 ).alias("rank"),
             )
         )
@@ -188,6 +213,7 @@ def pagerank(
     nodes.unpersist()
     links.unpersist()
     dangling.unpersist()
+    pvec.unpersist()
     return result
 
 

@@ -84,7 +84,48 @@ def q_invert_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CC_ITERS = 6
 BFS_HOPS = 4
-BFS_SOURCE_MAX = 5  # custkeys ≤ 5 are the BFS source set
+BFS_SOURCE_MAX = 5  # custkeys ≤ 5 are the BFS / personalization source set
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport mass resets to the source customers
+    (custkey ≤ 5) instead of uniformly — the recommendation-graph variant."""
+    edges = derived_edges(spark, sf_dir)
+    sources = edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
+    res = pagerank(
+        edges, num_iterations=PAGERANK_ITERS, damping=DAMPING, personalize=sources
+    )
+    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _ppr_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
+    base = f"""WITH edges AS ({EDGES_SQL}),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= {BFS_SOURCE_MAX}),
+ns AS (SELECT count(*) AS n FROM srcs),
+pvec AS (SELECT n.id,
+         CASE WHEN s.id IS NOT NULL THEN CAST(1.0 AS DOUBLE)/ns.n
+              ELSE CAST(0.0 AS DOUBLE) END AS p
+         FROM nodes n CROSS JOIN ns LEFT JOIN srcs s ON n.id = s.id),
+r0 AS (SELECT id, p AS rank FROM pvec)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(
+            f""",
+d{i} AS (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+         FROM r{p} r LEFT JOIN deg d ON r.id = d.id WHERE d.id IS NULL),
+c{i} AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS contrib
+         FROM r{p} r JOIN edges e ON r.id = e.src JOIN deg d ON d.id = e.src
+         GROUP BY 1),
+r{i} AS (SELECT v.id,
+         CAST({1.0 - damping} AS DOUBLE) * v.p
+         + CAST({damping} AS DOUBLE)
+           * (COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) + d{i}.dm * v.p) AS rank
+         FROM pvec v CROSS JOIN d{i} LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return base + "".join(steps) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{iters}"
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,6 +217,7 @@ QUERIES = {
     "graph_invert_edges": q_invert_edges,
     "graph_connected_components": q_connected_components,
     "graph_bfs_hops": q_bfs_hops,
+    "graph_personalized_pagerank": q_personalized_pagerank,
 }
 
 ORACLES = {
@@ -202,4 +244,5 @@ ORACLES = {
     "SELECT dst AS src, src AS dst FROM edges",
     "graph_connected_components": _cc_oracle_sql(),
     "graph_bfs_hops": _bfs_oracle_sql(),
+    "graph_personalized_pagerank": _ppr_oracle_sql(),
 }

@@ -118,6 +118,45 @@ def test_convergence_early_stop(spark):
     )
 
 
+def python_personalized(edges, iters, sources, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    srcs = [s for s in sources if s in nodes]
+    p = {v: (1.0 / len(srcs) if v in srcs else 0.0) for v in nodes}
+    out: dict[int, list[int]] = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    rank = dict(p)
+    for _ in range(iters):
+        dmass = sum(rank[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            share = rank[s] / len(ts)
+            for t in ts:
+                contrib[t] += share
+        rank = {v: (1 - d) * p[v] + d * (contrib[v] + dmass * p[v]) for v in nodes}
+    return rank
+
+
+def test_personalized_pagerank_matches_python_oracle(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    srcs = spark.createDataFrame([(1,), (99,)], "id LONG")  # 99 not in graph
+    res = pagerank(df, num_iterations=6, personalize=srcs)
+    got = {r.id: r.rank for r in res.ranks.collect()}
+    exp = python_personalized(edges, 6, [1])
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    # teleport-to-source: node 1 keeps high mass, sink node 5 drains it
+    assert got[1] > got[5]
+
+
+def test_personalized_requires_source_in_graph(spark):
+    df = spark.createDataFrame([(1, 2)], "src LONG, dst LONG")
+    ghost = spark.createDataFrame([(42,)], "id LONG")
+    with pytest.raises(ValueError):
+        pagerank(df, num_iterations=1, personalize=ghost)
+
+
 def test_duplicate_edges_weight_contributions(spark):
     # 1→2 twice, 1→3 once: node 2 gets 2/3 of node 1's share.
     edges = spark.createDataFrame(
