@@ -33,17 +33,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), read as raw nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) — convert to a µs timestamp
-        # (the generated values are µs-resolution, so this is lossless).
+        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
+        # rejects outright. Enable the nanos-as-long escape hatch on
+        # whatever session we're given (it's a runtime SQLConf — the
+        # driver harness may not have set it), read the raw nanos, and
+        # convert to a µs timestamp (generated values are µs-resolution,
+        # so this is lossless).
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

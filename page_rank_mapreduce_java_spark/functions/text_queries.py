@@ -18,13 +18,22 @@ from page_rank_mapreduce_java_spark.functions.textfn import LANG_MARKERS, STOPWO
 WORDS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
 
 
+BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex subtoken count (alpha runs,
+    digit runs, and punctuation as separate pieces — the pre-merge unit a
+    byte-pair tokenizer starts from)."""
     d = load_table(spark, "documents", sf_dir)
     return d.select(
         "doc_id",
         F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.size(F.array_distinct(words(F.col("text")))).cast("long").alias("n_unique"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_ISH), 0))
+        .cast("long")
+        .alias("n_subtokens"),
     )
 
 
@@ -116,7 +125,9 @@ ORACLES = {
     "text_token_count": f"""
         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(list_distinct(w)) AS BIGINT) AS n_unique
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_ISH}')) AS BIGINT)
+               AS n_subtokens
         FROM (SELECT doc_id, text, {WORDS_SQL} AS w FROM documents)
     """,
     "text_quality": f"""

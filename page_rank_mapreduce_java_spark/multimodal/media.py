@@ -139,6 +139,36 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(run, schema)
 
 
+RESIZED_SCHEMA = (
+    "media_id LONG, kind STRING, width INT, height INT, payload BINARY"
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize plumbing: image rows get new dimensions and a re-encoded
+    payload; non-image rows pass through untouched. The pixel resample is
+    STUBBED (synthetic codec only — re-packs the header and keeps the
+    body digest); swapping in PIL's ``Image.resize`` changes only the
+    body bytes. Arrow-batched, partition-parallel, schema-stable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                w, h, sr, dur = _decode_payload(payload)
+                if r["kind"] == "image":
+                    w, h = target_w, target_h
+                    payload = _MAGIC + struct.pack("<iiiq", w, h, sr, dur) + payload[24:]
+                out.append(
+                    {"media_id": r["media_id"], "kind": r["kind"],
+                     "width": w, "height": h, "payload": payload}
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 100) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled timestamp —
     pure DataFrame ops (sequence + explode), no Python in the path."""

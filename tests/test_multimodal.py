@@ -39,6 +39,22 @@ def test_extract_features_shape(spark):
     assert all(-1.0 <= v <= 1.0 for r in feats for v in r.feature)
 
 
+def test_resize_images_only_touches_images(spark):
+    from page_rank_mapreduce_java_spark.multimodal.media import resize_images
+
+    media = synthesize_media(spark, n=16)
+    resized = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    orig = {r.media_id: r for r in decode_media(media).collect()}
+    for mid, r in resized.items():
+        if r.kind == "image":
+            assert (r.width, r.height) == (8, 8)
+        else:
+            assert (r.width, r.height) == (orig[mid].width, orig[mid].height)
+    # resized payloads re-decode cleanly with the new header
+    rr = decode_media(resize_images(media, 8, 8)).collect()
+    assert all(r.width == 8 for r in rr if r.kind == "image")
+
+
 def test_frame_sample_counts(spark):
     media = synthesize_media(spark, n=10)
     frames = frame_sample(media, every_ms=100)
