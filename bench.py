@@ -67,17 +67,31 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    # The reference's own production workload (Makefile aws.k=1000,
+    # aws.iterations=10 — provisioned as 1 master + 5 core m6a.xlarge on
+    # EMR): k=1000 chains → 10⁶ nodes, 10 supersteps, one local session.
+    emr_sec = None
+    if os.environ.get("SPARK_GRAFT_BENCH_EMR", "1") != "0":
+        from page_rank_mapreduce_java_spark.graph.generators import chain_edges
+        from page_rank_mapreduce_java_spark.graph.pagerank import pagerank
+
+        t0 = time.time()
+        pagerank(chain_edges(spark, 1000), num_iterations=10).ranks.write.format(
+            "noop"
+        ).mode("overwrite").save()
+        emr_sec = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if emr_sec is not None:
+        out["emr_k1000_x10_sec"] = emr_sec
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

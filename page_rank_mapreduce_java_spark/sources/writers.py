@@ -39,3 +39,18 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 def write_iteration(df: DataFrame, base_path: str, iteration: int) -> None:
     """Per-iteration output dirs (S4): ``{base}/iter{N}`` parquet."""
     write_parquet(df, f"{base_path}/iter{iteration}")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, num_buckets: int = 32
+) -> None:
+    """Persist hash-bucketed on a join key: later joins/aggregations on
+    ``bucket_col`` read co-located buckets and skip the shuffle entirely —
+    the right storage layout for a graph's edge table that many jobs will
+    re-join (PERF.md). Requires a warehouse-backed session (managed table)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )

@@ -57,6 +57,24 @@ def test_state_text_reader_roundtrip(spark):
     assert abs(back[1].contrib - 1 / 9) < 1e-12
 
 
+def test_write_bucketed_join_skips_shuffle(spark):
+    from page_rank_mapreduce_java_spark.sources.writers import write_bucketed
+
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    write_bucketed(a, "t_bucket_a", "k", num_buckets=8)
+    write_bucketed(b, "t_bucket_b", "k", num_buckets=8)
+    ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+    joined = ta.join(tb, "k")
+    joined.collect()
+    executed = joined._jdf.queryExecution().executedPlan().toString()
+    # co-bucketed join: no exchange on either side
+    assert "Exchange hashpartitioning" not in executed
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE t_bucket_a")
+    spark.sql("DROP TABLE t_bucket_b")
+
+
 def test_write_iteration_dirs(spark):
     d = tempfile.mkdtemp()
     df = spark.range(5).select(F.col("id"), F.lit(0.5).alias("rank"))
