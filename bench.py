@@ -1,10 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+JSON line {"metric", "value", "unit", "queries", "sf"} plus
+"emr_k1000_x10_sec" — the reference's EMR-scale PageRank workload —
+unless SPARK_GRAFT_BENCH_EMR=0.
 
 Each query is forced end-to-end with the noop sink (full execution, no
-driver-side collect). The first run of the session pays JVM/session
-startup; that cost is excluded (session built before timing).
+driver-side collect). Code paths are warmed at the smallest scale factor
+first so timings measure steady-state execution, not JVM startup.
 """
 
 from __future__ import annotations

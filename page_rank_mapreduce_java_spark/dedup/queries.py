@@ -83,8 +83,12 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
-    sig = _signatures(spark, sf_dir)
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    The signature pipeline feeds 4 band branches × 2 self-join sides —
+    without the persist Spark would recompute the shingle explode + 16
+    min-aggregates 8×; with it, one pass."""
+    sig = _signatures(spark, sf_dir).persist()
     rows_per_band = NUM_MINHASH // LSH_BANDS
     bands = None
     for j in range(LSH_BANDS):
@@ -166,6 +170,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.expr("n_chars div 100").alias("bucket"),
                  words(F.col("text")).alias("w"))
         .select("doc_id", "lang", "bucket", word_shingles("w").alias("sh"))
+        .persist()  # both sides of the self-join read this
     )
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

@@ -29,20 +29,25 @@ def words(text: Column) -> Column:
 
 def word_shingles(words_col: str, n: int = 3) -> Column:
     """Distinct word n-grams (the MinHash/Jaccard unit) over a named
-    array<string> column. Empty for docs shorter than n words."""
+    array<string> column. Docs shorter than n words fall back to one
+    shingle holding the whole token list, so short documents still get
+    signatures (and identical short docs still collide)."""
     # Guard: Spark's sequence(0, negative) is a DESCENDING sequence, so
-    # short docs must short-circuit to an empty shingle set explicitly.
+    # short docs must short-circuit explicitly.
     return F.expr(
-        f"CASE WHEN size({words_col}) < {n} THEN array() "
+        f"CASE WHEN size({words_col}) = 0 THEN array() "
+        f"WHEN size({words_col}) < {n} THEN array(concat_ws(' ', {words_col})) "
         f"ELSE array_distinct(transform(sequence(0, size({words_col}) - {n}), "
         f"i -> concat_ws(' ', slice({words_col}, i + 1, {n})))) END"
     )
 
 
 def shingles_sql(words_expr: str, n: int = 3) -> str:
-    """DuckDB rendering: 1-based list slicing, || joins."""
+    """DuckDB rendering of ``word_shingles``: 1-based list slicing, || joins."""
     joined = " || ' ' || ".join(f"{words_expr}[i + {k}]" for k in range(n))
     return (
-        f"list_distinct(list_transform(range(1, len({words_expr}) - {n - 2}), "
-        f"i -> {joined}))"
+        f"CASE WHEN len({words_expr}) = 0 THEN [] "
+        f"WHEN len({words_expr}) < {n} THEN [array_to_string({words_expr}, ' ')] "
+        f"ELSE list_distinct(list_transform(range(1, len({words_expr}) - {n - 2}), "
+        f"i -> {joined})) END"
     )

@@ -89,7 +89,15 @@ def bfs_distances(
     )
     nodes.count()
 
-    src_ids = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+    src_ids = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .join(nodes, "id", "left_semi")
+    )
+    if src_ids.first() is None:
+        ed.unpersist()
+        nodes.unpersist()
+        raise ValueError("BFS source set has no ids present in the graph")
     dist = cut_lineage(
         nodes.join(src_ids.withColumn("d0", F.lit(0)), "id", "left").select(
             "id", F.coalesce("d0", F.lit(-1)).cast("long").alias("dist")

@@ -55,14 +55,6 @@ class PageRankResult:
     l1_deltas: list[float] = field(default_factory=list)
 
 
-def _nodes(edges: DataFrame) -> DataFrame:
-    return (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-
-
 def pagerank(
     edges: DataFrame,
     num_iterations: int = 10,
@@ -130,8 +122,10 @@ def pagerank(
     n = nodes.count()
     edges.unpersist()  # links/nodes hold everything the loop needs
     if n == 0:
+        empty = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
         links.unpersist()
-        return PageRankResult(ranks=nodes.withColumn("rank", F.lit(0.0)), num_nodes=0, iterations_run=0)
+        nodes.unpersist()
+        return PageRankResult(ranks=empty, num_nodes=0, iterations_run=0)
 
     # Dangling = nodes with no out-edges (the reference's sink node 0 is the
     # special case; reference pageRank_v2.java:35,216-222).

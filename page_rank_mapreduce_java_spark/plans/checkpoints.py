@@ -14,6 +14,11 @@ from pyspark.sql import DataFrame
 
 
 def cut_lineage(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """Block lifecycle: a localCheckpoint's blocks are freed by the
+    ContextCleaner once the DataFrame becomes unreachable. Iterative loops
+    rebind their state variable each superstep, so the previous vector's
+    blocks are reclaimed asynchronously — peak storage is ~2 state vectors
+    plus the persisted edge relation, not O(iterations)."""
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

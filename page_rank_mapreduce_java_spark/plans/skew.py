@@ -9,6 +9,15 @@ do the heavy shuffle on the salted key, then reduce the partial results.
 At 100 TB a handful of celebrity keys (the node-0 sink in the reference's
 own graph is exactly this: every chain tail points at it) can hold a whole
 stage hostage; two-phase aggregation bounds any single task's input.
+
+Retry semantics: pass ``salt_on`` (a stable, unique row key) whenever one
+exists — that salt is fully deterministic under task retry. Without it
+the salt falls back to ``monotonically_increasing_id``, which is
+position-based: if the input's own partition/row order is not
+deterministic (e.g. it is itself a shuffle output) a retried task can
+re-salt rows differently. Decomposable aggregates (sum/count) still
+reduce to the same totals; don't use the fallback under non-deterministic
+inputs with order-sensitive consumers.
 """
 
 from __future__ import annotations
@@ -17,19 +26,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, key: str, buckets: int, salt_col: str = "_salt") -> DataFrame:
-    """Append a per-row salt in [0, buckets).
-
-    Row-content hash alone would collapse duplicate rows (the common case
-    for a hot key!) into one bucket, so the salt mixes in
-    ``monotonically_increasing_id`` — unique per row, deterministic for a
-    given partition layout (a retried task recomputes the same ids), and
-    cheaper than rand() which is retry-unsafe."""
-    cols = [F.col(c) for c in df.columns]
-    return df.withColumn(
-        salt_col,
-        F.pmod(F.hash(*cols, F.monotonically_increasing_id()), F.lit(buckets)),
-    )
+def with_salt(
+    df: DataFrame,
+    buckets: int,
+    salt_col: str = "_salt",
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Append a per-row salt in [0, buckets). ``salt_on``: name of a
+    stable unique column to hash (retry-deterministic); default falls
+    back to row position (see module docstring). Any pre-existing
+    ``salt_col`` is overwritten."""
+    src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    return df.withColumn(salt_col, F.pmod(F.hash(src), F.lit(buckets)))
 
 
 def salted_aggregate(
@@ -38,12 +46,22 @@ def salted_aggregate(
     agg_col: Column,
     alias: str,
     buckets: int = 16,
+    merge: str = "sum",
+    salt_on: str | None = None,
 ) -> DataFrame:
-    """Two-phase SUM-like aggregation: partial per (key, salt), final per
-    key. Any single reducer task sees at most 1/buckets of a hot key."""
-    salted = with_salt(df, key, buckets)
+    """Two-phase aggregation: ``agg_col`` per (key, salt), then ``merge``
+    (the name of a re-aggregation: 'sum', 'min', 'max', ...) per key. Any
+    single reducer task sees at most ~1/buckets of a hot key.
+
+    The pair must be algebraically decomposable: partial-X then merge-Y
+    must equal X over the whole group (sum/sum, count/sum, min/min,
+    max/max). Non-decomposable aggregates (avg, median, count distinct)
+    need their own decomposition — e.g. avg = salted sum / salted count.
+    """
+    salted = with_salt(df, buckets, salt_on=salt_on)
     partial = salted.groupBy(key, "_salt").agg(agg_col.alias("_partial"))
-    return partial.groupBy(key).agg(F.sum("_partial").alias(alias))
+    merge_fn = getattr(F, merge)
+    return partial.groupBy(key).agg(merge_fn("_partial").alias(alias))
 
 
 def salted_join(
@@ -51,12 +69,13 @@ def salted_join(
     small: DataFrame,
     key: str,
     buckets: int = 16,
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Skewed big ⋈ small equi-join: salt the big side per-row, replicate
     the small side across all buckets, join on (key, salt). Use when the
     small side is too large to broadcast but the big side's key
     distribution is power-law."""
-    big_s = with_salt(big, key, buckets)
+    big_s = with_salt(big, buckets, salt_on=salt_on)
     salts = big.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_salt"))
     small_r = small.crossJoin(salts)
     return big_s.join(small_r, [key, "_salt"]).drop("_salt")

@@ -44,6 +44,21 @@ def test_minhash_identical_docs_share_all_bands(spark, sf_dir):
     assert all(0 <= r[f"mh{i}"] < 2_147_483_647 for r in rows for i in range(16))
 
 
+def test_short_docs_still_get_shingles(spark):
+    """<3-word docs fall back to a whole-text shingle, so identical short
+    docs can still be flagged as duplicates."""
+    from page_rank_mapreduce_java_spark.functions.textfn import word_shingles, words
+
+    df = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "")], "doc_id LONG, text STRING"
+    )
+    sh = df.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id", word_shingles("w").alias("sh")
+    )
+    got = {r.doc_id: list(r.sh) for r in sh.collect()}
+    assert got[1] == ["hi there"] and got[2] == ["hi there"]
+
+
 def test_lsh_pairs_are_ordered_and_distinct(spark, sf_dir):
     pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir).collect()
     seen = set()

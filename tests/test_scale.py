@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 from page_rank_mapreduce_java_spark.graph.generators import chain_edges
 from page_rank_mapreduce_java_spark.graph.ops import secondary_sort, top_k_per_group
 from page_rank_mapreduce_java_spark.graph.pagerank import pagerank
-from page_rank_mapreduce_java_spark.plans.skew import salted_aggregate, salted_join
+from page_rank_mapreduce_java_spark.plans.skew import (
+    salted_aggregate,
+    salted_join,
+    with_salt,
+)
 
 
 def test_emr_scale_workload(spark):
@@ -48,6 +52,21 @@ def test_salted_join_matches_plain(spark):
     salted = salted_join(big, small, "k", buckets=8).agg(
         F.sum(F.col("payload") * F.col("w"))
     ).first()[0]
+    assert plain == salted
+    # retry-deterministic variant: salt from a stable unique column
+    salted2 = salted_join(big, small, "k", buckets=8, salt_on="payload").agg(
+        F.sum(F.col("payload") * F.col("w"))
+    ).first()[0]
+    assert plain == salted2
+
+
+def test_salted_aggregate_min_merge(spark):
+    df = spark.range(1000).select((F.col("id") % 5).alias("k"), (F.col("id") % 37).alias("v"))
+    plain = {r.k: r.m for r in df.groupBy("k").agg(F.min("v").alias("m")).collect()}
+    salted = {
+        r.k: r.m
+        for r in salted_aggregate(df, "k", F.min("v"), "m", buckets=4, merge="min").collect()
+    }
     assert plain == salted
 
 

@@ -64,15 +64,17 @@ def test_write_bucketed_join_skips_shuffle(spark):
     b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
     write_bucketed(a, "t_bucket_a", "k", num_buckets=8)
     write_bucketed(b, "t_bucket_b", "k", num_buckets=8)
-    ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
-    joined = ta.join(tb, "k")
-    joined.collect()
-    executed = joined._jdf.queryExecution().executedPlan().toString()
-    # co-bucketed join: no exchange on either side
-    assert "Exchange hashpartitioning" not in executed
-    assert joined.count() == 1000
-    spark.sql("DROP TABLE t_bucket_a")
-    spark.sql("DROP TABLE t_bucket_b")
+    try:
+        ta, tb = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+        joined = ta.join(tb, "k")
+        rows = joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed join: no exchange on either side
+        assert "Exchange hashpartitioning" not in executed
+        assert len(rows) == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
 
 
 def test_write_iteration_dirs(spark):
