@@ -24,26 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registry() -> tuple[dict, dict]:
     from page_rank_mapreduce_java_spark.graph import queries as graph_queries
     from page_rank_mapreduce_java_spark.operators import relational, relational2
+    from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
+    from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
+    from page_rank_mapreduce_java_spark.functions import text_queries
 
-    modules = [graph_queries, relational, relational2]
-    try:  # extension surfaces land incrementally; never break the contract
-        from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
-
-        modules.append(dedup_queries)
-    except ImportError:
-        pass
-    try:
-        from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
-
-        modules.append(sim_queries)
-    except ImportError:
-        pass
-    try:
-        from page_rank_mapreduce_java_spark.functions import text_queries
-
-        modules.append(text_queries)
-    except ImportError:
-        pass
+    # Import errors must propagate: silently shrinking the registry would
+    # make the correctness gate pass on fewer queries without anyone
+    # noticing.
+    modules = [graph_queries, relational, relational2, dedup_queries, sim_queries, text_queries]
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     o: dict[str, str] = {}

@@ -44,10 +44,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Date/window rendering must be UTC to match the (naive) oracle
+        # timestamps regardless of what session the harness hands us.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # Integer division: epoch-ns (~1.7e18) exceeds double's 53-bit
+            # exact range, so `/ 1000` would corrupt ~12% of values by 1 µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from page_rank_mapreduce_java_spark.catalog import load_table
-from page_rank_mapreduce_java_spark.functions.hashes import MERSENNE31, md5_long_sql
+from page_rank_mapreduce_java_spark.functions.hashes import (
+    MERSENNE31,
+    md5_long,
+    md5_long_sql,
+)
 from page_rank_mapreduce_java_spark.functions.textfn import LANG_MARKERS, STOPWORDS, words
 
 WORDS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
@@ -86,9 +90,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.aggregate(
         w,
         F.lit(0).cast("long"),
-        lambda acc, x: (
-            acc * 31 + F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long") % MERSENNE31
-        ) % MERSENNE31,
+        lambda acc, x: (acc * 31 + md5_long(x) % MERSENNE31) % MERSENNE31,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
 

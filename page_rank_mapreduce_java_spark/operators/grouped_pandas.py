@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 def zscore_by_group_pandas(df: DataFrame, group: str, value: str) -> DataFrame:
     """Per-group (x − mean)/std via applyInPandas."""
-    out_schema = f"{group} LONG, {value} DOUBLE, z DOUBLE"
+    gt = df.schema[group].dataType.simpleString()
+    vt = df.schema[value].dataType.simpleString()
+    out_schema = f"{group} {gt}, {value} {vt}, z DOUBLE"
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf[value].std()
@@ -51,7 +53,8 @@ def trend_by_group(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
     """Per-group OLS slope/intercept of y~x via numpy inside applyInPandas."""
     import numpy as np
 
-    out_schema = f"{group} LONG, slope DOUBLE, intercept DOUBLE, n LONG"
+    gt = df.schema[group].dataType.simpleString()
+    out_schema = f"{group} {gt}, slope DOUBLE, intercept DOUBLE, n LONG"
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         xs = pdf[x].astype("float64").to_numpy()

@@ -29,11 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from page_rank_mapreduce_java_spark.catalog import load_table
-
-
-def _cents(col: str | F.Column) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
+from page_rank_mapreduce_java_spark.functions.money import cents as _cents
+from page_rank_mapreduce_java_spark.functions.money import cents_sql
 
 
 # --- scans / filters / projections -----------------------------------------
@@ -413,11 +410,7 @@ QUERIES = {
     "pivot_event_counts": q_pivot_event_counts,
 }
 
-_CENTS = "CAST(round({c} * 100, 0) AS BIGINT)"
-
-
-def _c(col: str) -> str:
-    return _CENTS.format(c=col)
+_c = cents_sql
 
 
 ORACLES = {

@@ -15,11 +15,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from page_rank_mapreduce_java_spark.catalog import load_table
-
-
-def _cents(col: str | F.Column) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
+from page_rank_mapreduce_java_spark.functions.money import cents as _cents
+from page_rank_mapreduce_java_spark.functions.money import cents_sql
 
 
 # --- subqueries -------------------------------------------------------------
@@ -68,13 +65,16 @@ def q_correlated_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance/stddev from exact integer moments:
-    var = (n·Σx² − (Σx)²) / (n·(n−1)) — order-independent, portable."""
+    var = (n·Σx² − (Σx)²) / (n·(n−1)) — order-independent, portable.
+    Σx² runs in DECIMAL(38,0): a BIGINT sum of cents² (~1e12/row) would
+    overflow past ~9M rows per group, i.e. exactly at large SF."""
     c = load_table(spark, "customer", sf_dir)
     cents = _cents("c_acctbal")
+    cents_dec = cents.cast("decimal(19,0)")
     g = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s1"),
-        F.sum(cents * cents).alias("s2"),
+        F.sum(cents_dec * cents_dec).alias("s2"),
     )
     var = (
         (F.col("s2").cast("double") * F.col("n") - F.col("s1").cast("double") * F.col("s1"))
@@ -321,11 +321,7 @@ QUERIES = {
     "events_tumbling_hourly": q_events_tumbling_hourly,
 }
 
-_C = "CAST(round({c} * 100, 0) AS BIGINT)"
-
-
-def _c(col: str) -> str:
-    return _C.format(c=col)
+_c = cents_sql
 
 
 ORACLES = {
@@ -349,7 +345,8 @@ ORACLES = {
         WITH g AS (
           SELECT c_mktsegment, COUNT(*) AS n,
                  SUM({_c('c_acctbal')}) AS s1,
-                 SUM({_c('c_acctbal')} * {_c('c_acctbal')}) AS s2
+                 SUM(CAST({_c('c_acctbal')} AS DECIMAL(19,0))
+                     * CAST({_c('c_acctbal')} AS DECIMAL(19,0))) AS s2
           FROM customer GROUP BY c_mktsegment)
         SELECT c_mktsegment, n,
                ROUND((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)

@@ -59,12 +59,13 @@ def brute_force_topk(
     )
 
 
-def plane_weight_expr(j: int, dim_var: str = "d") -> str:
+def plane_weight_expr(j: int, dim_var: str = "d", dim: int = 64) -> str:
     """SQL fragment for hyperplane j's weight at dimension ``d`` — a
     deterministic LCG mapped to [-0.5, 0.5); identical text works in Spark
-    SQL and DuckDB modulo integer-division spelling."""
+    SQL and DuckDB. The LCG seed stride is ``dim`` so consecutive planes
+    never share weight subsequences."""
     return (
-        f"(((CAST({LCG_A} AS BIGINT) * (64 * {j} + {dim_var}) + {LCG_C}) % {LCG_M}) "
+        f"(((CAST({LCG_A} AS BIGINT) * ({dim} * {j} + {dim_var}) + {LCG_C}) % {LCG_M}) "
         f"/ CAST({LCG_M} AS DOUBLE) - 0.5)"
     )
 
@@ -81,7 +82,7 @@ def lsh_buckets(
     for j in range(n_planes):
         dot_j = F.expr(
             f"aggregate(transform(sequence(0, {dim - 1}), "
-            f"d -> CAST(element_at({vec_col}, d + 1) AS DOUBLE) * {plane_weight_expr(j)}), "
+            f"d -> CAST(element_at({vec_col}, d + 1) AS DOUBLE) * {plane_weight_expr(j, dim=dim)}), "
             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
         bit = (dot_j > 0).cast("long") * F.lit(2**j)
@@ -176,7 +177,7 @@ def lsh_buckets_sql(n_planes: int = 8, dim: int = 64, vec_col: str = "embedding"
         dot_j = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(range(0, {dim}), "
-            f"d -> CAST({vec_col}[d + 1] AS DOUBLE) * {plane_weight_expr(j)})), "
+            f"d -> CAST({vec_col}[d + 1] AS DOUBLE) * {plane_weight_expr(j, dim=dim)})), "
             f"(acc, x) -> acc + x)"
         )
         bits.append(f"(CASE WHEN {dot_j} > 0 THEN {2**j} ELSE 0 END)")

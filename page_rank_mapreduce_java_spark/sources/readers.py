@@ -22,12 +22,14 @@ EDGE_SCHEMA = T.StructType(
     ]
 )
 
-# Typed replacement for the reference's circulated text record
-# `node,U,contrib,adjList` (pageRank_v2.java:217, output/check3).
+# Typed schema of the reference's circulated text record
+# `node,U,contrib,adjList` (pageRank_v2.java:217, output/check3) as decoded
+# by read_state_text. The text format carries no rank field (the 'U' tag
+# occupies that slot); the engine's richer in-memory state adds rank —
+# see graph.pagerank.reference_init_state.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
-        T.StructField("rank", T.DoubleType(), True),
         T.StructField("contrib", T.DoubleType(), True),
         T.StructField("out", T.ArrayType(T.LongType()), True),
     ]

@@ -51,11 +51,13 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     df = events
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
+    from page_rank_mapreduce_java_spark.functions.money import cents
+
     return (
         df.groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -132,7 +134,13 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # HALF_UP (away from zero), matching F.round in the batch
+            # paths — numpy's .round() is half-to-even and would drift by
+            # 1 cent on exact-.5 products.
+            import numpy as np
+
+            v = pdf["value"].to_numpy() * 100
+            cents += int(np.sign(v).astype("int64") @ np.floor(np.abs(v) + 0.5).astype("int64"))
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
