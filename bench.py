@@ -47,25 +47,26 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
 
+    missing = [name for name in HEADLINE if name not in qs]
+    if missing:
+        raise KeyError(f"headline queries not in registry: {missing}")
+
     # Warm the session: run every headline query once at the smallest SF
     # (different data, same code paths) so timings measure steady-state
-    # execution, not JVM classloading / codegen compilation.
+    # execution, not JVM classloading / codegen compilation. Warmup
+    # failures are reported (to stderr, keeping stdout one JSON line) —
+    # a silently-skipped warmup shifts compilation cost into the timings.
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is not None:
-            try:
-                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 - warmup must not kill the bench
+            print(f"bench: warmup failed for {name}: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -93,7 +93,9 @@ def main(argv: list[str] | None = None) -> int:
             .write.mode("overwrite")
             .text(args.output)
         )
-        print(f"chaingen: k={args.k} ({args.k * args.k} nodes) -> {args.output}")
+        print(
+            f"chaingen: k={args.k} ({args.k * args.k} chain nodes + sink 0) -> {args.output}"
+        )
     elif args.cmd == "init-state":
         edges = read_edge_csv(spark, args.input)
         write_state_text(reference_init_state(edges, args.k), args.output)

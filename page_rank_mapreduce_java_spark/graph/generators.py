@@ -32,6 +32,8 @@ def random_edges(spark: SparkSession, n: int, m: int, seed: int = 7) -> DataFram
     Used for cross-oracle tests vs NetworkX-style general PageRank. Small
     fixture sizes only — generated on the driver for exact determinism.
     """
+    if m > n * n:
+        raise ValueError(f"m={m} exceeds the {n * n} possible (src, dst) pairs")
     rng = random.Random(seed)
     seen: set[tuple[int, int]] = set()
     while len(seen) < m:

@@ -67,9 +67,14 @@ def secondary_sort(
     return df.repartition(n, primary).sortWithinPartitions(primary, secondary)
 
 
-def top_k_per_group(df: DataFrame, group: str, order: str, k: int) -> DataFrame:
-    """Per-group top-k via window row_number (rank desc, deterministic)."""
-    w = Window.partitionBy(group).orderBy(F.desc(order))
+def top_k_per_group(
+    df: DataFrame, group: str, order: str, k: int, tiebreak: str | None = None
+) -> DataFrame:
+    """Per-group top-k via window row_number. Ties on ``order`` at the k
+    boundary are broken by ``tiebreak`` (ascending); without one, which of
+    the tied rows survives is partition-order-dependent."""
+    cols = [F.desc(order)] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(group).orderBy(*cols)
     return (
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

@@ -3,7 +3,7 @@
 The corpus has no native edge table, so the graph is derived
 deterministically from the relational tables: a customer→supplier edge for
 every distinct (o_custkey, l_suppkey) pair that co-occurs in an order.
-Supplier node ids are offset by 1_000_000 to keep the two key spaces
+Supplier node ids are offset by 10^12 to keep the two key spaces
 disjoint. Suppliers have no out-edges, so the whole supplier side is
 dangling — this exercises the reference's dangling-mass path
 (pageRank_v2.java:216-222) on real data.
@@ -28,7 +28,10 @@ from page_rank_mapreduce_java_spark.graph.ops import (
 )
 from page_rank_mapreduce_java_spark.graph.pagerank import pagerank
 
-SUPPLIER_OFFSET = 1_000_000
+# Offset must exceed max(o_custkey) at ANY scale factor or customer and
+# supplier node ids silently merge (TPC-H has 150k customers per SF, so
+# 10^12 is safe beyond SF 6,000,000).
+SUPPLIER_OFFSET = 1_000_000_000_000
 PAGERANK_ITERS = 5
 DAMPING = 0.85
 

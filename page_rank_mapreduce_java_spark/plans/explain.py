@@ -30,7 +30,8 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def uses_python_udf(df: DataFrame) -> bool:
@@ -38,10 +39,23 @@ def uses_python_udf(df: DataFrame) -> bool:
     return "BatchEvalPython" in plan or "ArrowEvalPython" in plan
 
 
-def has_partial_aggregation(df: DataFrame) -> bool:
-    """Hash aggregates appear in partial+final pairs around the exchange."""
-    plan = formatted_plan(df)
-    return plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+def _split_top_level(s: str) -> list[str]:
+    """Split a struct body on commas at bracket depth 0 (decimal(p,s) and
+    nested struct/map/array types carry commas of their own)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:
@@ -50,6 +64,8 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     for line in plan.splitlines():
         line = line.strip()
         if line.startswith("ReadSchema"):
-            inner = line.split("struct<", 1)[-1].rstrip(">")
-            return [c.split(":")[0] for c in inner.split(",") if c]
+            inner = line.split("struct<", 1)[-1]
+            if inner.endswith(">"):
+                inner = inner[:-1]
+            return [c.split(":")[0] for c in _split_top_level(inner) if c]
     return []

@@ -56,6 +56,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"FAIL <args>: unknown query names {unknown}")
+        failures.extend(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
