@@ -103,6 +103,47 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregate family over the JSON payload key."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 10).cast("long").alias("all_gt10"),
+        F.bool_or(F.col("value") > 500).cast("long").alias("any_gt500"),
+        F.bit_or(k).alias("k_bit_or"),
+        F.bit_and(k).alias("k_bit_and"),
+        F.bit_xor(k).alias("k_bit_xor"),
+    )
+
+
+def q_agg_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance + correlation of price vs quantity from exact
+    integer moments (cents × centi-units in DECIMAL(38,0)) — the same
+    order-independence trick as agg_stddev_exact, for two variables."""
+    l = load_table(spark, "lineitem", sf_dir)
+    x = _cents("l_extendedprice").cast("decimal(19,0)")
+    y = _cents("l_quantity").cast("decimal(19,0)")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    cov = (n * sxy - sx * sy) / (n * (n - 1)) / 10000.0
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 4).alias("covar"),
+        F.round(corr, 6).alias("corr"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL API (same Catalyst plan space
     as the DataFrame API)."""
@@ -303,6 +344,8 @@ QUERIES = {
     "subquery_in": q_subquery_in,
     "correlated_exists_agg": q_correlated_exists_agg,
     "agg_stddev_exact": q_agg_stddev_exact,
+    "agg_bool_bitwise": q_agg_bool_bitwise,
+    "agg_covar_exact": q_agg_covar_exact,
     "agg_argmax": q_agg_argmax,
     "grouping_sets": q_grouping_sets,
     "unpivot_part_metrics": q_unpivot_part_metrics,
@@ -353,6 +396,39 @@ ORACLES = {
                      / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0, 4) AS var_bal,
                ROUND(sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
                      / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0), 4) AS stddev_bal
+        FROM g
+    """,
+    "agg_bool_bitwise": """
+        SELECT event_type,
+               CAST(bool_and(value > 10) AS BIGINT) AS all_gt10,
+               CAST(bool_or(value > 500) AS BIGINT) AS any_gt500,
+               bit_or(CAST(props->>'$.k' AS BIGINT)) AS k_bit_or,
+               bit_and(CAST(props->>'$.k' AS BIGINT)) AS k_bit_and,
+               bit_xor(CAST(props->>'$.k' AS BIGINT)) AS k_bit_xor
+        FROM events GROUP BY event_type
+    """,
+    "agg_covar_exact": f"""
+        WITH g AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST({_c('l_extendedprice')} AS DECIMAL(19,0))) AS sx,
+                 SUM(CAST({_c('l_quantity')} AS DECIMAL(19,0))) AS sy,
+                 SUM(CAST({_c('l_extendedprice')} AS DECIMAL(19,0))
+                     * CAST({_c('l_quantity')} AS DECIMAL(19,0))) AS sxy,
+                 SUM(CAST({_c('l_extendedprice')} AS DECIMAL(19,0))
+                     * CAST({_c('l_extendedprice')} AS DECIMAL(19,0))) AS sxx,
+                 SUM(CAST({_c('l_quantity')} AS DECIMAL(19,0))
+                     * CAST({_c('l_quantity')} AS DECIMAL(19,0))) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0, 4) AS covar,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
         FROM g
     """,
     "agg_argmax": """
