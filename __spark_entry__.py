@@ -23,7 +23,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry() -> tuple[dict, dict]:
     from page_rank_mapreduce_java_spark.graph import queries as graph_queries
-    from page_rank_mapreduce_java_spark.operators import relational, relational2
+    from page_rank_mapreduce_java_spark.operators import relational, relational2, relational3
     from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.functions import text_queries
@@ -31,7 +31,15 @@ def _registry() -> tuple[dict, dict]:
     # Import errors must propagate: silently shrinking the registry would
     # make the correctness gate pass on fewer queries without anyone
     # noticing.
-    modules = [graph_queries, relational, relational2, dedup_queries, sim_queries, text_queries]
+    modules = [
+        graph_queries,
+        relational,
+        relational2,
+        relational3,
+        dedup_queries,
+        sim_queries,
+        text_queries,
+    ]
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     o: dict[str, str] = {}

@@ -87,3 +87,28 @@ def test_pagerank_iteration_shuffles_ranks_not_links(spark):
     # to the edge join (the §4.3 plan-explosion guard).
     plan = formatted_plan(res.ranks)
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_asof_join_is_one_exchange_no_cartesian(spark, sf_dir):
+    """The union-sort as-of join must cost one hash exchange on the key
+    plus a within-partition sort — never a cartesian/range probe, and
+    never one exchange per side after the union (the union is resolved
+    before the window's single shuffle)."""
+    from page_rank_mapreduce_java_spark.operators import relational3
+
+    plan = formatted_plan(relational3.q_join_asof_latest_order(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # hashpartitioning on the union key feeds the window; the orders-side
+    # pre-dedup adds its own aggregate exchange, nothing else.
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_gapfill_spine_is_broadcast_sized(spark, sf_dir):
+    """The date-spine cross join must broadcast the tiny sides — a
+    shuffled cartesian here would be wrong at any scale."""
+    from page_rank_mapreduce_java_spark.operators import relational3
+
+    plan = formatted_plan(relational3.q_events_daily_gapfill(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
