@@ -246,6 +246,66 @@ EMB_COSINE_SQL = f"""
 """
 
 
+# --- near-dup clustering (LSH pairs -> components -> canonical doc) ----------
+
+# Label-propagation rounds for duplicate clusters. The oracle unrolls the
+# SAME count, so Spark and DuckDB compute the identical partial fixpoint
+# even if a pathological near-dup chain exceeds it.
+DEDUP_CC_ITERS = 6
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline composed end-to-end: MinHash → LSH candidate
+    pairs → connected components over the pair graph → every doc assigned
+    a cluster id (the minimum doc_id in its near-dup cluster; singletons
+    are their own cluster). ``is_dup`` marks the non-canonical members —
+    the rows a training-data pipeline would drop.
+
+    Scale: the pair graph is tiny relative to the corpus (only LSH
+    collisions), so the component step runs on candidate-pair volume,
+    never on document volume; the final assignment is one left join.
+    """
+    from page_rank_mapreduce_java_spark.graph.algorithms import connected_components
+
+    pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges, max_iterations=DEDUP_CC_ITERS)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return (
+        docs.join(comp, docs.doc_id == comp.id, "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster"))
+        .withColumn("is_dup", (F.col("doc_id") != F.col("cluster")).cast("long"))
+    )
+
+
+def _dedup_clusters_sql(iters: int = DEDUP_CC_ITERS) -> str:
+    # MATERIALIZED stops DuckDB re-inlining the expensive LSH pipeline
+    # into every unrolled propagation step (each step references the
+    # previous twice — inlined, the work grows exponentially in iters).
+    base = f"""WITH pairs AS MATERIALIZED ({_lsh_pairs_sql()}),
+sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+l0 AS (SELECT id, id AS component FROM (SELECT DISTINCT src AS id FROM sym))"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(
+            f""",
+n{i} AS MATERIALIZED (SELECT s.dst AS id, MIN(l.component) AS nbr
+         FROM l{p} l JOIN sym s ON l.id = s.src GROUP BY s.dst),
+l{i} AS MATERIALIZED (SELECT l.id, LEAST(l.component, COALESCE(n.nbr, l.component)) AS component
+         FROM l{p} l LEFT JOIN n{i} n ON l.id = n.id)"""
+        )
+    return (
+        base
+        + "".join(steps)
+        + f"""
+SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS cluster,
+       CAST(d.doc_id != COALESCE(l.component, d.doc_id) AS BIGINT) AS is_dup
+FROM documents d LEFT JOIN l{iters} l ON d.doc_id = l.id"""
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -253,6 +313,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -267,4 +328,5 @@ ORACLES = {
     "dedup_simhash": SIMHASH_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": EMB_COSINE_SQL,
+    "dedup_clusters": _dedup_clusters_sql(),
 }

@@ -102,27 +102,27 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ppr_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
-    base = f"""WITH edges AS ({EDGES_SQL}),
-nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+    base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
 srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= {BFS_SOURCE_MAX}),
 ns AS (SELECT count(*) AS n FROM srcs),
-pvec AS (SELECT n.id,
+pvec AS MATERIALIZED (SELECT n.id,
          CASE WHEN s.id IS NOT NULL THEN CAST(1.0 AS DOUBLE)/ns.n
               ELSE CAST(0.0 AS DOUBLE) END AS p
          FROM nodes n CROSS JOIN ns LEFT JOIN srcs s ON n.id = s.id),
-r0 AS (SELECT id, p AS rank FROM pvec)"""
+r0 AS MATERIALIZED (SELECT id, p AS rank FROM pvec)"""
     steps = []
     for i in range(1, iters + 1):
         p = i - 1
         steps.append(
             f""",
-d{i} AS (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
          FROM r{p} r LEFT JOIN deg d ON r.id = d.id WHERE d.id IS NULL),
-c{i} AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS contrib
+c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / d.deg) AS contrib
          FROM r{p} r JOIN edges e ON r.id = e.src JOIN deg d ON d.id = e.src
          GROUP BY 1),
-r{i} AS (SELECT v.id,
+r{i} AS MATERIALIZED (SELECT v.id,
          CAST({1.0 - damping} AS DOUBLE) * v.p
          + CAST({damping} AS DOUBLE)
            * (COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) + d{i}.dm * v.p) AS rank
@@ -146,28 +146,28 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_oracle_sql(iters: int = CC_ITERS) -> str:
-    base = f"""WITH edges AS ({EDGES_SQL}),
-sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-l0 AS (SELECT id, id AS component FROM (SELECT DISTINCT src AS id FROM sym))"""
+    base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+l0 AS MATERIALIZED (SELECT id, id AS component FROM (SELECT DISTINCT src AS id FROM sym))"""
     steps = []
     for i in range(1, iters + 1):
         p = i - 1
         steps.append(
             f""",
-n{i} AS (SELECT s.dst AS id, MIN(l.component) AS nbr
+n{i} AS MATERIALIZED (SELECT s.dst AS id, MIN(l.component) AS nbr
          FROM l{p} l JOIN sym s ON l.id = s.src GROUP BY s.dst),
-l{i} AS (SELECT l.id, LEAST(l.component, COALESCE(n.nbr, l.component)) AS component
+l{i} AS MATERIALIZED (SELECT l.id, LEAST(l.component, COALESCE(n.nbr, l.component)) AS component
          FROM l{p} l LEFT JOIN n{i} n ON l.id = n.id)"""
         )
     return base + "".join(steps) + f"\nSELECT id, component FROM l{iters}"
 
 
 def _bfs_oracle_sql(hops: int = BFS_HOPS) -> str:
-    base = f"""WITH edges AS ({EDGES_SQL}),
-sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-nodes AS (SELECT DISTINCT src AS id FROM sym),
+    base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
 srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= {BFS_SOURCE_MAX}),
-d0 AS (SELECT n.id,
+d0 AS MATERIALIZED (SELECT n.id,
        CAST(CASE WHEN n.id IN (SELECT id FROM srcs) THEN 0 ELSE -1 END AS BIGINT) AS dist
        FROM nodes n)"""
     steps = []
@@ -175,9 +175,9 @@ d0 AS (SELECT n.id,
         p = i - 1
         steps.append(
             f""",
-r{i} AS (SELECT s.dst AS id, MIN(d.dist) + 1 AS cand
+r{i} AS MATERIALIZED (SELECT s.dst AS id, MIN(d.dist) + 1 AS cand
          FROM d{p} d JOIN sym s ON d.id = s.src WHERE d.dist >= 0 GROUP BY s.dst),
-d{i} AS (SELECT d.id,
+d{i} AS MATERIALIZED (SELECT d.id,
          CAST(CASE WHEN d.dist < 0 THEN COALESCE(r.cand, -1)
               ELSE LEAST(d.dist, COALESCE(r.cand, d.dist)) END AS BIGINT) AS dist
          FROM d{p} d LEFT JOIN r{i} r ON d.id = r.id)"""
@@ -186,22 +186,22 @@ d{i} AS (SELECT d.id,
 
 
 def _pagerank_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
-    base = f"""WITH edges AS ({EDGES_SQL}),
-nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+    base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
 nn AS (SELECT count(*) AS n FROM nodes),
-r0 AS (SELECT id, CAST(1.0 AS DOUBLE)/nn.n AS rank FROM nodes, nn)"""
+r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE)/nn.n AS rank FROM nodes, nn)"""
     steps = []
     for i in range(1, iters + 1):
         p = i - 1
         steps.append(
             f""",
-d{i} AS (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
          FROM r{p} r LEFT JOIN deg d ON r.id = d.id WHERE d.id IS NULL),
-c{i} AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS contrib
+c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / d.deg) AS contrib
          FROM r{p} r JOIN edges e ON r.id = e.src JOIN deg d ON d.id = e.src
          GROUP BY 1),
-r{i} AS (SELECT n.id,
+r{i} AS MATERIALIZED (SELECT n.id,
          CAST({1.0 - damping} AS DOUBLE)/nn.n
          + CAST({damping} AS DOUBLE)
            * (COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) + d{i}.dm/nn.n) AS rank
@@ -232,18 +232,18 @@ ORACLES = {
             "ORDER BY rank DESC, id ASC LIMIT 20",
         )
     ),
-    "graph_out_degrees": f"WITH edges AS ({EDGES_SQL}) "
+    "graph_out_degrees": f"WITH edges AS MATERIALIZED ({EDGES_SQL}) "
     "SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY 1",
-    "graph_in_degrees": f"WITH edges AS ({EDGES_SQL}) "
+    "graph_in_degrees": f"WITH edges AS MATERIALIZED ({EDGES_SQL}) "
     "SELECT dst AS id, count(*) AS in_degree FROM edges GROUP BY 1",
-    "graph_dangling_nodes": f"""WITH edges AS ({EDGES_SQL}),
-        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
+    "graph_dangling_nodes": f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+        nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
         SELECT n.id FROM nodes n LEFT JOIN (SELECT DISTINCT src FROM edges) e
         ON n.id = e.src WHERE e.src IS NULL""",
-    "graph_degree_histogram": f"""WITH edges AS ({EDGES_SQL}),
+    "graph_degree_histogram": f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
         deg AS (SELECT src, count(*) AS out_degree FROM edges GROUP BY 1)
         SELECT out_degree, count(*) AS num_nodes FROM deg GROUP BY 1""",
-    "graph_invert_edges": f"WITH edges AS ({EDGES_SQL}) "
+    "graph_invert_edges": f"WITH edges AS MATERIALIZED ({EDGES_SQL}) "
     "SELECT dst AS src, src AS dst FROM edges",
     "graph_connected_components": _cc_oracle_sql(),
     "graph_bfs_hops": _bfs_oracle_sql(),

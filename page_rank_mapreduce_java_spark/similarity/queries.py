@@ -47,14 +47,51 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, k=TOP_K, n_probe=IVF_PROBES, n_centroids=IVF_CENTROIDS)
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vector, emitted as (label, pos, value) — the
+    IVF/k-means building block as a first-class query.
+
+    Exactness: each float element is snapped to integer micro-units
+    BEFORE summation, so the sum is order-independent (the repo's money
+    convention applied to vectors); only the final mean division is
+    floating-point. posexplode keeps the fan-out JVM-side — dim × rows,
+    one shuffle on (label, pos), map-side partial sums.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+    x = e.select("label", F.posexplode("embedding").alias("pos0", "x"))
+    micro = F.round(F.col("x").cast("double") * 1e6).cast("long")
+    return (
+        x.groupBy("label", "pos0")
+        .agg(F.sum(micro).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("s").cast("double") / F.col("n") / 1e6, 6).alias("centroid"),
+        )
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
+    "embedding_centroids": q_embedding_centroids,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_bucket_sizes": q_ann_lsh_bucket_sizes,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {
+    "embedding_centroids": """
+        WITH x AS (
+          SELECT label,
+                 unnest(range(1, len(embedding) + 1)) AS pos,
+                 unnest(embedding) AS x
+          FROM embeddings
+        )
+        SELECT label, pos,
+               ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 1e6, 6) AS centroid
+        FROM x GROUP BY label, pos
+    """,
     "ann_bruteforce_topk": f"""
         WITH scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
