@@ -13,11 +13,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from page_rank_mapreduce_java_spark.catalog import load_table
 from page_rank_mapreduce_java_spark.functions.money import cents as _cents
 from page_rank_mapreduce_java_spark.functions.money import cents_sql as _c
+from page_rank_mapreduce_java_spark.operators.asof import asof_join
 from page_rank_mapreduce_java_spark.plans.skew import salted_aggregate
 
 
@@ -33,34 +32,16 @@ def q_join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row range probe. Ties on (custkey, orderdate) are collapsed to
     max(o_orderkey) first so both engines pick the same order.
     """
-    e = load_table(spark, "events", sf_dir).select(
-        F.col("user_id").alias("k"), "ts", "event_id"
-    )
+    e = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
     o = (
         load_table(spark, "orders", sf_dir)
-        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"))
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
     )
-    # side 0 (orders) sorts before side 1 (events) at equal ts => inclusive >=
-    rights = o.select(
-        "k", "ts", F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("event_id"), "o_orderkey",
+    joined = asof_join(
+        e, o, on="user_id", ts="ts", payload=["asof_orderkey"], tiebreak=["event_id"]
     )
-    lefts = e.select(
-        "k", "ts", F.lit(1).alias("side"),
-        "event_id", F.lit(None).cast("long").alias("o_orderkey"),
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        rights.unionByName(lefts)
-        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
-        .filter((F.col("side") == 1) & F.col("asof_orderkey").isNotNull())
-        .select("event_id", F.col("k").alias("user_id"), "asof_orderkey")
-    )
+    return joined.select("event_id", "user_id", "asof_orderkey")
 
 
 def q_join_full_outer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:

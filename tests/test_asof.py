@@ -1,0 +1,80 @@
+"""Semantics of the as-of join operator on literal frames: inclusive
+backward match, no-match behavior for inner vs left, multi-payload carry,
+and determinism under left-side ts ties."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-05"), 100),  # after both orders -> latest (k=1,01-03)
+            (1, _ts("2024-01-03"), 101),  # exactly at an order ts -> inclusive
+            (1, _ts("2024-01-01"), 102),  # before any order -> no match
+            (2, _ts("2024-06-01"), 103),  # key with no right rows at all
+        ],
+        "k long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-02"), 7, "a"),
+            (1, _ts("2024-01-03"), 9, "b"),
+        ],
+        "k long, ts timestamp, oid long, tag string",
+    )
+    return left, right
+
+
+def test_backward_inclusive_inner(spark, frames):
+    left, right = frames
+    got = {
+        r["event_id"]: (r["oid"], r["tag"])
+        for r in asof_join(
+            left, right, on="k", ts="ts", payload=["oid", "tag"]
+        ).collect()
+    }
+    # 102 (before any order) and 103 (unmatched key) drop under inner
+    assert got == {100: (9, "b"), 101: (9, "b")}
+
+
+def test_left_keeps_unmatched_with_null_payload(spark, frames):
+    left, right = frames
+    rows = asof_join(
+        left, right, on="k", ts="ts", payload=["oid", "tag"], how="left"
+    ).collect()
+    got = {r["event_id"]: r["oid"] for r in rows}
+    assert got == {100: 9, 101: 9, 102: None, 103: None}
+    assert len(rows) == left.count()
+
+
+def test_left_ts_ties_each_get_same_match(spark, frames):
+    _, right = frames
+    left = right.sparkSession.createDataFrame(
+        [(1, _ts("2024-01-04"), 201), (1, _ts("2024-01-04"), 202)],
+        "k long, ts timestamp, event_id long",
+    )
+    got = {
+        r["event_id"]: r["oid"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", payload=["oid"], tiebreak=["event_id"]
+        ).collect()
+    }
+    assert got == {201: 9, 202: 9}
+
+
+def test_rejects_unknown_how(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right, on="k", ts="ts", payload=["oid"], how="full").collect()
