@@ -32,7 +32,9 @@ HEADLINE = [
     "agg_cube",
     "order_limit_top25",
     "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
     "ann_bruteforce_topk",
+    "join_asof_latest_order",
 ]
 
 

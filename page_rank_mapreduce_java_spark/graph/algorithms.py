@@ -40,12 +40,19 @@ def connected_components(
     shortest path to its component's minimum is covered (≤ diameter).
     """
     spark = edges.sparkSession
+    sym_raw = _symmetrize(edges).persist()
     if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # Same data-sized partitioning as pagerank.py: ~75k edge rows per
+        # partition, capped by the session's shuffle parallelism, so small
+        # graphs don't pay near-empty tasks per superstep while big ones
+        # use full cluster width.
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = max(1, min(cap, -(-sym_raw.count() // 75_000)))
 
-    sym = _symmetrize(edges).repartition(partitions, "src").persist()
+    sym = sym_raw.repartition(partitions, "src").persist()
     nodes = sym.select(F.col("src").alias("id")).distinct().repartition(partitions, "id").persist()
     nodes.count()
+    sym_raw.unpersist()
 
     labels = cut_lineage(nodes.select("id", F.col("id").alias("component")))
     for _ in range(max_iterations):
@@ -76,10 +83,12 @@ def bfs_distances(
     Returns DataFrame[id long, dist long].
     """
     spark = edges.sparkSession
+    ed_raw = edges.persist()
     if partitions is None:
-        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = max(1, min(cap, -(-ed_raw.count() // 75_000)))
 
-    ed = edges.repartition(partitions, "src").persist()
+    ed = ed_raw.repartition(partitions, "src").persist()
     nodes = (
         ed.select(F.col("src").alias("id"))
         .unionByName(ed.select(F.col("dst").alias("id")))
@@ -121,6 +130,7 @@ def bfs_distances(
                 .alias("dist"),
             )
         )
+    ed_raw.unpersist()
     ed.unpersist()
     nodes.unpersist()
     return dist
