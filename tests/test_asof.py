@@ -78,3 +78,50 @@ def test_rejects_unknown_how(spark, frames):
     left, right = frames
     with pytest.raises(ValueError, match="how"):
         asof_join(left, right, on="k", ts="ts", payload=["oid"], how="full").collect()
+
+
+# --- property: cross-oracle vs pandas.merge_asof ---------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_lefts = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+_rights = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 999)),
+    min_size=1,
+    max_size=25,
+).map(lambda rows: list({(k, t): (k, t, v) for k, t, v in rows}.values()))
+# rights dedup on (key, ts): the operator's contract leaves right-side
+# (key, ts) ties to the caller (pandas.merge_asof would pick the last).
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lefts=_lefts, rights=_rights)
+def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, ts long, row_id long"
+    )
+    right = spark.createDataFrame(rights, "k long, ts long, v long")
+    got = {
+        r["row_id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", payload=["v"], how="left",
+            tiebreak=["row_id"],
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], columns=["k", "ts", "row_id"]
+    ).sort_values(["ts", "row_id"], kind="mergesort")
+    rp = pd.DataFrame(rights, columns=["k", "ts", "v"]).sort_values(
+        ["ts"], kind="mergesort"
+    )
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    exp = {
+        int(r.row_id): (None if pd.isna(r.v) else int(r.v))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
