@@ -67,3 +67,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """Schema'd JSON-lines scan — inference is never used in production."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Same pushdown/pruning properties as parquet (columnar,
+    predicate pushdown via ORC bloom/min-max); schema travels with the
+    files so no explicit StructType is needed."""
+    return spark.read.orc(path)

@@ -41,6 +41,21 @@ def write_iteration(df: DataFrame, base_path: str, iteration: int) -> None:
     write_parquet(df, f"{base_path}/iter{iteration}")
 
 
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (columnar alternative where the downstream stack is
+    Hive/ORC-native); same partitioned-directory layout as parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the interchange format for downstream tooling
+    that doesn't speak columnar; one object per line, splittable reads."""
+    df.write.mode("overwrite").json(path)
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, num_buckets: int = 32
 ) -> None:

@@ -84,3 +84,23 @@ def test_write_iteration_dirs(spark):
         write_iteration(df, d, i)
     assert os.path.isdir(f"{d}/iter0") and os.path.isdir(f"{d}/iter1")
     assert spark.read.parquet(f"{d}/iter1").count() == 5
+
+
+def test_orc_and_json_roundtrip(spark):
+    from page_rank_mapreduce_java_spark.sources.readers import read_json, read_orc
+    from page_rank_mapreduce_java_spark.sources.writers import write_json, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.0)],
+        "id long, tag string, x double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(df, f"{d}/orc", partition_by=["tag"])
+        back = read_orc(spark, f"{d}/orc").select("id", "tag", "x")
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+        write_json(df, f"{d}/json")
+        back = read_json(spark, f"{d}/json", df.schema).select("id", "tag", "x")
+        assert sorted(
+            map(tuple, back.collect()), key=str
+        ) == sorted(map(tuple, df.collect()), key=str)
