@@ -119,6 +119,18 @@ def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window, 1h slide) in BATCH, via the SAME
+    ``streaming.sliding_counts`` the stream path uses — the function is
+    mode-agnostic, so this query pins batch/stream parity through the
+    oracle gate. Each event lands in window/slide = 2 buckets; the
+    oracle enumerates the same epoch-aligned window starts explicitly."""
+    from page_rank_mapreduce_java_spark.streaming.events import sliding_counts
+
+    e = load_table(spark, "events", sf_dir)
+    return sliding_counts(e, window="2 hours", slide="1 hour")
+
+
 def q_agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """plans/skew.salted_aggregate routed through the oracle gate: the
     two-phase (key, salt) -> key sum must equal the plain GROUP BY SUM.
@@ -140,6 +152,7 @@ QUERIES = {
     "agg_percentiles_exact": q_agg_percentiles_exact,
     "explode_with_position": q_explode_with_position,
     "events_daily_gapfill": q_events_daily_gapfill,
+    "events_sliding_2h": q_events_sliding_2h,
     "agg_salted_sum": q_agg_salted_sum,
 }
 
@@ -188,6 +201,16 @@ ORACLES = {
         SELECT spine.d, t.event_type, COALESCE(daily.n, 0) AS n_events
         FROM spine CROSS JOIN t
         LEFT JOIN daily ON daily.d = spine.d AND daily.event_type = t.event_type
+    """,
+    "events_sliding_2h": """
+        WITH x AS (
+          SELECT strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
+                          '%Y-%m-%d %H:%M:%S') AS window_start,
+                 event_type
+          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) t
+        )
+        SELECT window_start, event_type, COUNT(*) AS n
+        FROM x GROUP BY 1, 2
     """,
     "agg_salted_sum": f"""
         SELECT event_type, SUM({_c('value')}) AS value_cents
