@@ -155,6 +155,56 @@ SIMHASH_SQL = f"""
 """
 
 
+SIMHASH_HAMMING_MAX = 3
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates share either 16-bit half of the
+    32-bit fingerprint, then are verified by exact Hamming distance ≤ 3.
+    With 2 blocks the pigeonhole guarantee covers distance ≤ 1; pairs at
+    distance 2-3 whose differing bits span both halves are missed — the
+    standard recall/cost trade of block-based SimHash search (more,
+    narrower blocks buy recall with more candidates).
+
+    Scale: candidate generation is an equi-join on (band, half-value) —
+    never a cross join; the Hamming check runs only on collisions.
+    """
+    sh = q_dedup_simhash(spark, sf_dir).persist()
+    hi = (F.col("simhash") / F.lit(65536)).cast("long").alias("half")
+    lo = (F.col("simhash") % F.lit(65536)).alias("half")
+    bands = sh.select("doc_id", "simhash", F.lit(0).alias("band"), hi).unionByName(
+        sh.select("doc_id", "simhash", F.lit(1).alias("band"), lo)
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    dist = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(y, ["band", "half"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+    WITH sh AS MATERIALIZED ({SIMHASH_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band, simhash // 65536 AS half FROM sh
+      UNION ALL
+      SELECT doc_id, simhash, 1 AS band, simhash % 65536 AS half FROM sh
+    )
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM bands x JOIN bands y ON x.band = y.band AND x.half = y.half
+    WHERE x.doc_id < y.doc_id
+      AND bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
 # --- blocked n-gram Jaccard ---------------------------------------------------
 
 
@@ -311,6 +361,7 @@ QUERIES = {
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
@@ -326,6 +377,7 @@ ORACLES = {
     "dedup_minhash_signatures": _signatures_sql(),
     "dedup_minhash_lsh_pairs": _lsh_pairs_sql(),
     "dedup_simhash": SIMHASH_SQL,
+    "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": EMB_COSINE_SQL,
     "dedup_clusters": _dedup_clusters_sql(),

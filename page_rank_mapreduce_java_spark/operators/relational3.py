@@ -119,6 +119,21 @@ def q_events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy ROLLUP (year → month → grand total) over order
+    revenue — the calendar-rollup shape of a hypertable. One shuffle;
+    Expand feeds partial aggregates so each grouping level combines
+    map-side."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.rollup(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(_cents("o_totalprice")).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2h window, 1h slide) in BATCH, via the SAME
     ``streaming.sliding_counts`` the stream path uses — the function is
@@ -150,6 +165,7 @@ QUERIES = {
     "join_asof_latest_order": q_join_asof_latest_order,
     "join_full_outer_nation": q_join_full_outer_nation,
     "agg_percentiles_exact": q_agg_percentiles_exact,
+    "agg_date_rollup": q_agg_date_rollup,
     "explode_with_position": q_explode_with_position,
     "events_daily_gapfill": q_events_daily_gapfill,
     "events_sliding_2h": q_events_sliding_2h,
@@ -201,6 +217,14 @@ ORACLES = {
         SELECT spine.d, t.event_type, COALESCE(daily.n, 0) AS n_events
         FROM spine CROSS JOIN t
         LEFT JOIN daily ON daily.d = spine.d AND daily.event_type = t.event_type
+    """,
+    "agg_date_rollup": f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               SUM({_c('o_totalprice')}) AS total_cents,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (1, 2)
     """,
     "events_sliding_2h": """
         WITH x AS (
