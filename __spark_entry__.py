@@ -23,7 +23,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry() -> tuple[dict, dict]:
     from page_rank_mapreduce_java_spark.graph import queries as graph_queries
-    from page_rank_mapreduce_java_spark.operators import relational, relational2, relational3
+    from page_rank_mapreduce_java_spark.operators import (
+        relational,
+        relational2,
+        relational3,
+        relational4,
+    )
     from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.functions import text_queries
@@ -36,6 +41,7 @@ def _registry() -> tuple[dict, dict]:
         relational,
         relational2,
         relational3,
+        relational4,
         dedup_queries,
         sim_queries,
         text_queries,
