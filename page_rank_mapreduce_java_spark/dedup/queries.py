@@ -356,8 +356,56 @@ FROM documents d LEFT JOIN l{iters} l ON d.doc_id = l.id"""
     )
 
 
+def q_dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking — the classic
+    record-linkage shape the hash families (MinHash/SimHash) don't cover:
+    it catches small in-place edits that shift every shingle.
+
+    Blocking keys (lang, n_chars//64) bound the quadratic comparison to
+    within-block pairs, so the self-join is an equi-join Catalyst plans
+    as one shuffle; ``levenshtein`` on a fixed 40-char head caps per-pair
+    cost. At 100 TB the block key would add a content prefix (or an LSH
+    band) to keep blocks O(1); the operator shape is unchanged.
+    """
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("lb"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.head"), F.col("b.head")))
+        .filter(F.col("dist") <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+
+
+FUZZY_PAIRS_SQL = """
+    WITH b AS (
+      SELECT doc_id, lang, n_chars // 64 AS lb, substr(text, 1, 40) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.head, c.head) AS BIGINT) AS dist
+    FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.head, c.head) <= 20
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash": q_dedup_simhash,
@@ -368,6 +416,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_fuzzy_pairs": FUZZY_PAIRS_SQL,
     "dedup_exact": """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY digest) AS keeper,
                CAST(row_number() OVER (PARTITION BY digest ORDER BY doc_id) > 1

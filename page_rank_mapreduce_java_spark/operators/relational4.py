@@ -163,8 +163,22 @@ def q_sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming module's stream-stream join run in BATCH through the
+    oracle gate — ``click_attribution`` is mode-agnostic, so this pins
+    the exact join semantics the watermarked streaming path executes."""
+    from page_rank_mapreduce_java_spark.streaming.events import click_attribution
+
+    e = load_table(spark, "events", sf_dir)
+    return click_attribution(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+
+
 QUERIES = {
     "q3_shipping_priority": q_q3_shipping_priority,
+    "stream_click_attribution": q_stream_click_attribution,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "q10_returned_items": q_q10_returned_items,
     "q18_large_orders": q_q18_large_orders,
@@ -173,6 +187,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_click_attribution": """
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
     "q3_shipping_priority": f"""
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,

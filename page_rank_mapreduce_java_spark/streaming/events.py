@@ -107,6 +107,44 @@ def sliding_counts(
     )
 
 
+def click_attribution(clicks: DataFrame, purchases: DataFrame, *, within: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to the same
+    user's click(s) in the preceding ``within`` interval.
+
+    Streaming semantics: BOTH sides carry a watermark and the join
+    condition bounds purchase time relative to click time, so Spark can
+    expire join state — without the time bound, stream-stream state
+    grows forever. Batch semantics are identical (the watermark is a
+    no-op on bounded data), so the oracle gate checks this exact
+    function. One shuffle on user_id; the range predicate is a residual
+    filter, never a cartesian product.
+    """
+    l = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    r = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("c_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("p_ts", watermark)
+    return l.join(
+        r,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+    )
+
+
 def write_stream_foreach_batch(df: DataFrame, out_dir: str) -> None:
     """Exactly-once-style sink: every micro-batch lands as its own parquet
     dir keyed by epoch — the idempotent-writer pattern a transactional

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from page_rank_mapreduce_java_spark.catalog import load_table
 from page_rank_mapreduce_java_spark.streaming.events import (
+    click_attribution,
     materialize_stream_source,
     read_event_stream,
     run_stream_to_memory,
@@ -65,6 +66,28 @@ def test_sliding_counts_stream_matches_batch(spark, sf_dir, stream_path):
     assert got == exp
     # every event appears in window/slide = 4 overlapping windows
     assert sum(got.values()) == 4 * load_table(spark, "events", sf_dir).count()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, stream_path):
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = click_attribution(*sides(read_event_stream(spark, stream_path)))
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "attribution")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+    exp = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in click_attribution(*sides(load_table(spark, "events", sf_dir))).collect()
+    }
+    assert got == exp
+    assert len(exp) > 0
 
 
 def test_foreach_batch_sink(spark, stream_path, tmp_path):
