@@ -373,16 +373,23 @@ def q_dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 64).cast("long").alias("lb"),
         F.substring("text", 1, 40).alias("head"),
     )
-    a, b = d.alias("a"), d.alias("b")
+    # The probe side must be spread over the block keys: the corpus reads
+    # as few parquet splits, and a broadcast join's parallelism equals the
+    # probe side's partition count — without this, every levenshtein pair
+    # lands on one task. The doc_id inequality sits BEFORE the levenshtein
+    # conjunct so the cheap predicate halves the candidate set first.
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = d.repartition(shuffle_p, "lang", "lb").alias("a")
+    b = d.alias("b")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.lb") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.levenshtein(F.col("a.head"), F.col("b.head")) <= 20),
         )
         .withColumn("dist", F.levenshtein(F.col("a.head"), F.col("b.head")))
-        .filter(F.col("dist") <= 20)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
