@@ -33,8 +33,14 @@ HEADLINE = [
     "order_limit_top25",
     "dedup_minhash_lsh_pairs",
     "dedup_clusters",
+    "dedup_fuzzy_pairs",
     "ann_bruteforce_topk",
     "join_asof_latest_order",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "stream_click_attribution",
 ]
 
 

@@ -109,11 +109,20 @@ def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size context-window chunking (functions/chunking.py hot
+    path): JVM-only split→slice→posexplode, narrow, no shuffle."""
+    from page_rank_mapreduce_java_spark.functions.chunking import chunk_documents
+
+    return chunk_documents(load_table(spark, "documents", sf_dir), chunk_words=32)
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_chunks": q_text_chunks,
     "multimodal_blob_stats": q_multimodal_blob_stats,
 }
 
@@ -123,7 +132,10 @@ _marker_scores = {
     for lang, marks in LANG_MARKERS.items()
 }
 
+from page_rank_mapreduce_java_spark.functions.chunking import chunk_sql as _chunk_sql
+
 ORACLES = {
+    "text_chunks": _chunk_sql(32),
     "text_token_count": f"""
         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
