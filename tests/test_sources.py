@@ -86,6 +86,31 @@ def test_write_iteration_dirs(spark):
     assert spark.read.parquet(f"{d}/iter1").count() == 5
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """Hive-partitioned parquet + a partition-key predicate must prune at
+    planning time (PartitionFilters on the scan, only the matching
+    directory read) — the storage layout that turns a 100 TB scan into a
+    single-partition read."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.plans.explain import formatted_plan
+    from page_rank_mapreduce_java_spark.sources.writers import write_parquet
+
+    events = load_table(spark, "events", sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        write_parquet(events, f"{d}/by_type", partition_by=["event_type"])
+        back = spark.read.parquet(f"{d}/by_type").filter(
+            F.col("event_type") == "purchase"
+        )
+        plan = formatted_plan(back)
+        assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+        n_expected = events.filter(F.col("event_type") == "purchase").count()
+        assert back.count() == n_expected
+        # Only the purchase directory's files exist to be selected.
+        all_files = len(glob.glob(f"{d}/by_type/event_type=*/*.parquet"))
+        one_dir = len(glob.glob(f"{d}/by_type/event_type=purchase/*.parquet"))
+        assert one_dir < all_files
+
+
 def test_orc_and_json_roundtrip(spark):
     from page_rank_mapreduce_java_spark.sources.readers import read_json, read_orc
     from page_rank_mapreduce_java_spark.sources.writers import write_json, write_orc
