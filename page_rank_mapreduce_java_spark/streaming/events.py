@@ -107,6 +107,20 @@ def sliding_counts(
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes it, so state size tracks the watermark window — the
+    way a 100 TB/day ingest dedups without unbounded memory. (Plain
+    ``dropDuplicates`` on a stream never expires state.) A key recurring
+    after the watermark expires is re-emitted; batch inputs fall back to
+    exact ``dropDuplicates`` (bounded data needs no expiry)."""
+    keys = keys or ["user_id", "event_type"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def click_attribution(clicks: DataFrame, purchases: DataFrame, *, within: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Stream-stream inner join: each purchase attributed to the same
     user's click(s) in the preceding ``within`` interval.

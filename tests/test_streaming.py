@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from page_rank_mapreduce_java_spark.catalog import load_table
 from page_rank_mapreduce_java_spark.streaming.events import (
     click_attribution,
+    dedup_stream,
     materialize_stream_source,
     read_event_stream,
     run_stream_to_memory,
@@ -66,6 +67,25 @@ def test_sliding_counts_stream_matches_batch(spark, sf_dir, stream_path):
     assert got == exp
     # every event appears in window/slide = 4 overlapping windows
     assert sum(got.values()) == 4 * load_table(spark, "events", sf_dir).count()
+
+
+def test_dedup_stream_bounded_state(spark, stream_path):
+    """Within one watermark window every key is emitted exactly once."""
+    stream = dedup_stream(read_event_stream(spark, stream_path), watermark="10 days")
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "dedup_stream_out")
+    got = spark.sql(
+        "SELECT user_id, event_type, COUNT(*) AS n FROM dedup_stream_out "
+        "GROUP BY 1, 2 HAVING COUNT(*) > 1"
+    ).collect()
+    assert got == []
+    n_keys = (
+        spark.read.parquet(stream_path)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM dedup_stream_out").first().n == n_keys
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir, stream_path):
