@@ -31,13 +31,25 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 10, partitions: int | None = None
+    edges: DataFrame,
+    max_iterations: int = 10,
+    partitions: int | None = None,
+    stop_early: bool = False,
 ) -> DataFrame:
     """Undirected connected components: label = min node id in component.
 
     Returns DataFrame[id long, component long]. ``max_iterations`` bounds
     the label-propagation rounds; propagation reaches fixpoint once every
     shortest path to its component's minimum is covered (≤ diameter).
+
+    ``stop_early`` exits once a round changes no label. The check is one
+    small job over the two checkpointed label vectors (rank-vector-sized,
+    never edge-sized) and is oracle-safe: a fixpoint is stable, so an
+    unrolled oracle running the full ``max_iterations`` computes the
+    identical labels. Default OFF: measured on the derived corpus graph
+    (diameter ≈ round budget) the per-round check job costs about what it
+    saves; turn it on when the round budget far exceeds the expected
+    diameter.
     """
     spark = edges.sparkSession
     sym_raw = _symmetrize(edges).persist()
@@ -61,11 +73,23 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr"))
         )
-        labels = cut_lineage(
+        new_labels = cut_lineage(
             labels.join(nbr_min, "id", "left").select(
                 "id", F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias("component")
             )
         )
+        if stop_early:
+            changed = (
+                new_labels.alias("a")
+                .join(labels.alias("b"), "id")
+                .filter(F.col("a.component") != F.col("b.component"))
+                .first()
+            )
+            labels = new_labels
+            if changed is None:
+                break
+        else:
+            labels = new_labels
     sym.unpersist()
     nodes.unpersist()
     return labels

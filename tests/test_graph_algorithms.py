@@ -33,6 +33,17 @@ def test_cc_chain_propagation_depth(spark):
     assert partial[5] == 4 and partial[1] == 1
 
 
+def test_cc_early_stop_matches_fixed_rounds(spark):
+    # early exit at fixpoint must give identical labels to the fixed
+    # round budget (fixpoints are stable under further propagation)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (12, 11)])
+    fixed = sorted(map(tuple, connected_components(e, max_iterations=8).collect()))
+    early = sorted(
+        map(tuple, connected_components(e, max_iterations=8, stop_early=True).collect())
+    )
+    assert early == fixed
+
+
 def test_bfs_directed_vs_symmetrized(spark):
     e = _edges(spark, [(1, 2), (2, 3), (4, 3)])
     srcs = spark.createDataFrame([(1,)], "id LONG")
