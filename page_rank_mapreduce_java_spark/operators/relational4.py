@@ -176,9 +176,39 @@ def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars over the event value stream — the canonical
+    financial/hypertable downsample. Open/close are first/last by
+    (ts, event_id) (the id tie-break makes same-timestamp bars
+    deterministic); high/low/volume are plain aggregates. One shuffle on
+    the hour bucket; the two row_number windows share its partitioning
+    so no extra exchange is planned."""
+    e = load_table(spark, "events", sf_dir).select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        _cents("value").alias("v"),
+        "ts",
+        "event_id",
+    )
+    w_asc = Window.partitionBy("hour").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("hour").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rna", F.row_number().over(w_asc))
+        .withColumn("rnd", F.row_number().over(w_desc))
+        .groupBy("hour")
+        .agg(
+            F.max(F.when(F.col("rna") == 1, F.col("v"))).alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.max(F.when(F.col("rnd") == 1, F.col("v"))).alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 QUERIES = {
     "q3_shipping_priority": q_q3_shipping_priority,
     "stream_click_attribution": q_stream_click_attribution,
+    "events_hourly_ohlc": q_events_hourly_ohlc,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "q10_returned_items": q_q10_returned_items,
     "q18_large_orders": q_q18_large_orders,
@@ -187,6 +217,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_hourly_ohlc": f"""
+        WITH e AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                 {_c('value')} AS v, ts, event_id
+          FROM events
+        ), r AS (
+          SELECT hour, v,
+                 ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts, event_id) AS rna,
+                 ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts DESC, event_id DESC) AS rnd
+          FROM e
+        )
+        SELECT hour,
+               MAX(CASE WHEN rna = 1 THEN v END) AS open_cents,
+               MAX(v) AS high_cents,
+               MIN(v) AS low_cents,
+               MAX(CASE WHEN rnd = 1 THEN v END) AS close_cents,
+               COUNT(*) AS n_events
+        FROM r GROUP BY hour
+    """,
     "stream_click_attribution": """
         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
         FROM events c JOIN events p
