@@ -205,10 +205,56 @@ def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values (50-currency-unit buckets)
+    per event type — the profiling aggregate behind every data-quality
+    dashboard. Bucketing is integer arithmetic on exact cents (identical
+    in any engine, no float-edge ambiguity); one shuffle, partial
+    aggregation map-side."""
+    e = load_table(spark, "events", sf_dir)
+    bucket = F.floor(_cents("value") / F.lit(5000)).cast("long")
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(_cents("value")).alias("lo_cents"),
+            F.max(_cents("value")).alias("hi_cents"),
+        )
+    )
+
+
+def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams — the n-gram frequency scan of a
+    corpus-statistics pipeline. Bigrams are built JVM-side by zipping the
+    word array with itself shifted (transform over indices), exploded,
+    and counted; the LIMIT is fully tie-broken. Narrow until the single
+    count shuffle; TakeOrderedAndProject caps the sort at k."""
+    d = load_table(spark, "documents", sf_dir)
+    w = F.split(F.col("text"), " ")
+    # Guard: F.sequence(1, 0) DESCENDS, so single-word docs would emit
+    # bogus indices — give them an empty bigram list instead.
+    idx = F.when(F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
 QUERIES = {
     "q3_shipping_priority": q_q3_shipping_priority,
     "stream_click_attribution": q_stream_click_attribution,
     "events_hourly_ohlc": q_events_hourly_ohlc,
+    "agg_value_histogram": q_agg_value_histogram,
+    "text_top_bigrams": q_text_top_bigrams,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "q10_returned_items": q_q10_returned_items,
     "q18_large_orders": q_q18_large_orders,
@@ -217,6 +263,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_value_histogram": f"""
+        SELECT event_type,
+               CAST(floor({_c('value')} / 5000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               MIN({_c('value')}) AS lo_cents,
+               MAX({_c('value')}) AS hi_cents
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "text_top_bigrams": """
+        SELECT bigram, COUNT(*) AS n FROM (
+          SELECT w[i] || ' ' || w[i+1] AS bigram
+          FROM (SELECT string_split(text, ' ') AS w FROM documents),
+               LATERAL unnest(range(1, len(w))) AS t(i)
+        )
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 50
+    """,
     "events_hourly_ohlc": f"""
         WITH e AS (
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
