@@ -513,11 +513,16 @@ ORACLES = {
                AS running_value
         FROM events
     """,
+    # Interval arithmetic, not epoch_us(): on DuckDB versions that surface
+    # the parquet column as TIMESTAMP_NS, epoch-extraction semantics have
+    # shifted across releases, while timestamp subtraction yields an
+    # INTERVAL in every version (the r1 driver-vs-local hash divergence).
     "window_sessionize": """
         WITH flagged AS (
           SELECT user_id,
-                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                      (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+                 CASE WHEN ts - lag(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL '30' MINUTE
                       THEN 1 ELSE 0 END AS new_sess
           FROM events)
         SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
@@ -558,10 +563,15 @@ ORACLES = {
                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
         FROM orders
     """,
-    "json_funcs": """
+    # regexp extraction, not ->>: the JSON operator family needs the json
+    # extension and its path semantics ('$.k' vs 'k') moved across DuckDB
+    # releases (the r1 driver-vs-local hash divergence); a regexp over the
+    # {"k": <int>} payload works identically in every version. Missing
+    # keys extract '' -> TRY_CAST NULL, matching get_json_object's NULL.
+    "json_funcs": r"""
         SELECT event_type,
-               SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
-               MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+               SUM(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+               MAX(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS max_k,
                COUNT(*) AS n
         FROM events GROUP BY event_type
     """,
