@@ -54,15 +54,42 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered rank outputs are integer micro-units (×1e8, BIGINT), not
+# ROUND(rank, 8) DOUBLE: the values quantize identically, but a BIGINT
+# renders identically in every hash canonicalizer, while float formatting
+# ("%.10g" vs repr vs DuckDB's) is a cross-harness drift channel
+# (ADVICE r1, medium).
+_RANK_E8 = (F.round(F.col("rank") * 1e8)).cast("long")
+
+# One PageRank run per (session, sf_dir, variant): q_pagerank_topk derives
+# from the same rank vector as q_pagerank, so running the 5-superstep loop
+# twice per bench/gate pass was pure waste (ADVICE r1). The cached DataFrame
+# is localCheckpoint-backed — holding the reference keeps its blocks alive;
+# entries die with the session.
+_RANKS_CACHE: dict[tuple[int, str, bool], DataFrame] = {}
+
+
+def _corpus_ranks(spark: SparkSession, sf_dir: str, personalized: bool = False) -> DataFrame:
+    key = (id(spark), sf_dir, personalized)
+    if key not in _RANKS_CACHE:
+        edges = derived_edges(spark, sf_dir)
+        sources = None
+        if personalized:
+            sources = edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
+        res = pagerank(
+            edges, num_iterations=PAGERANK_ITERS, damping=DAMPING, personalize=sources
+        )
+        _RANKS_CACHE[key] = res.ranks
+    return _RANKS_CACHE[key]
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = pagerank(derived_edges(spark, sf_dir), num_iterations=PAGERANK_ITERS, damping=DAMPING)
-    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
+    return _corpus_ranks(spark, sf_dir).select("id", _RANK_E8.alias("rank_e8"))
 
 
 def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = pagerank(derived_edges(spark, sf_dir), num_iterations=PAGERANK_ITERS, damping=DAMPING)
-    ranked = res.ranks.select("id", F.round("rank", 8).alias("rank"))
-    return ranked.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+    ranked = _corpus_ranks(spark, sf_dir).select("id", _RANK_E8.alias("rank_e8"))
+    return ranked.orderBy(F.desc("rank_e8"), F.asc("id")).limit(20)
 
 
 def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,12 +120,9 @@ BFS_SOURCE_MAX = 5  # custkeys ≤ 5 are the BFS / personalization source set
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank: teleport mass resets to the source customers
     (custkey ≤ 5) instead of uniformly — the recommendation-graph variant."""
-    edges = derived_edges(spark, sf_dir)
-    sources = edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
-    res = pagerank(
-        edges, num_iterations=PAGERANK_ITERS, damping=DAMPING, personalize=sources
+    return _corpus_ranks(spark, sf_dir, personalized=True).select(
+        "id", _RANK_E8.alias("rank_e8")
     )
-    return res.ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
 def _ppr_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
@@ -128,7 +152,11 @@ r{i} AS MATERIALIZED (SELECT v.id,
            * (COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) + d{i}.dm * v.p) AS rank
          FROM pvec v CROSS JOIN d{i} LEFT JOIN c{i} c ON v.id = c.id)"""
         )
-    return base + "".join(steps) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{iters}"
+    return (
+        base
+        + "".join(steps)
+        + f"\nSELECT id, CAST(ROUND(rank * 1e8, 0) AS BIGINT) AS rank_e8 FROM r{iters}"
+    )
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +235,11 @@ r{i} AS MATERIALIZED (SELECT n.id,
            * (COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) + d{i}.dm/nn.n) AS rank
          FROM nodes n CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN c{i} c ON n.id = c.id)"""
         )
-    return base + "".join(steps) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{iters}"
+    return (
+        base
+        + "".join(steps)
+        + f"\nSELECT id, CAST(ROUND(rank * 1e8, 0) AS BIGINT) AS rank_e8 FROM r{iters}"
+    )
 
 
 QUERIES = {
@@ -227,9 +259,9 @@ ORACLES = {
     "graph_pagerank": _pagerank_oracle_sql(),
     "graph_pagerank_topk": (
         _pagerank_oracle_sql().replace(
-            f"SELECT id, ROUND(rank, 8) AS rank FROM r{PAGERANK_ITERS}",
-            f"SELECT id, ROUND(rank, 8) AS rank FROM r{PAGERANK_ITERS} "
-            "ORDER BY rank DESC, id ASC LIMIT 20",
+            f"SELECT id, CAST(ROUND(rank * 1e8, 0) AS BIGINT) AS rank_e8 FROM r{PAGERANK_ITERS}",
+            f"SELECT id, CAST(ROUND(rank * 1e8, 0) AS BIGINT) AS rank_e8 FROM r{PAGERANK_ITERS} "
+            "ORDER BY rank_e8 DESC, id ASC LIMIT 20",
         )
     ),
     "graph_out_degrees": f"WITH edges AS MATERIALIZED ({EDGES_SQL}) "
