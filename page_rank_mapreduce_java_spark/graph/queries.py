@@ -58,8 +58,10 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROUND(rank, 8) DOUBLE: the values quantize identically, but a BIGINT
 # renders identically in every hash canonicalizer, while float formatting
 # ("%.10g" vs repr vs DuckDB's) is a cross-harness drift channel
-# (ADVICE r1, medium).
-_RANK_E8 = (F.round(F.col("rank") * 1e8)).cast("long")
+# (ADVICE r1, medium). A function, not a module constant: building a
+# Column requires an active SparkContext.
+def _rank_e8():
+    return F.round(F.col("rank") * 1e8).cast("long")
 
 # One PageRank run per (session, sf_dir, variant): q_pagerank_topk derives
 # from the same rank vector as q_pagerank, so running the 5-superstep loop
@@ -84,11 +86,11 @@ def _corpus_ranks(spark: SparkSession, sf_dir: str, personalized: bool = False) 
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _corpus_ranks(spark, sf_dir).select("id", _RANK_E8.alias("rank_e8"))
+    return _corpus_ranks(spark, sf_dir).select("id", _rank_e8().alias("rank_e8"))
 
 
 def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranked = _corpus_ranks(spark, sf_dir).select("id", _RANK_E8.alias("rank_e8"))
+    ranked = _corpus_ranks(spark, sf_dir).select("id", _rank_e8().alias("rank_e8"))
     return ranked.orderBy(F.desc("rank_e8"), F.asc("id")).limit(20)
 
 
@@ -121,7 +123,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank: teleport mass resets to the source customers
     (custkey ≤ 5) instead of uniformly — the recommendation-graph variant."""
     return _corpus_ranks(spark, sf_dir, personalized=True).select(
-        "id", _RANK_E8.alias("rank_e8")
+        "id", _rank_e8().alias("rank_e8")
     )
 
 

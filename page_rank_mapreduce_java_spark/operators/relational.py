@@ -278,11 +278,15 @@ def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_dense_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global DENSE_RANK via distinct-value ranking + join back
+    (operators/ranking.py) — supplier grows with the scale factor, so the
+    single-task ``Window.orderBy`` form would bottleneck at scale."""
+    from page_rank_mapreduce_java_spark.operators.ranking import global_dense_rank
+
     s = load_table(spark, "supplier", sf_dir)
-    w = Window.orderBy(F.desc("s_acctbal"))
-    return s.select(
-        "s_suppkey", "s_acctbal", F.dense_rank().over(w).cast("long").alias("rnk")
-    )
+    return global_dense_rank(
+        s.select("s_suppkey", "s_acctbal"), F.col("s_acctbal"), "_bal", out_col="rnk"
+    ).select("s_suppkey", "s_acctbal", "rnk")
 
 
 # --- sort / limit -----------------------------------------------------------

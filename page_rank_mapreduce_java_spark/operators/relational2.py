@@ -215,10 +215,14 @@ def q_window_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE via the two-pass range-partitioned ranking
+    (operators/ranking.py) — customer grows with the scale factor, so the
+    single-task ``Window.orderBy`` form would bottleneck at scale."""
+    from page_rank_mapreduce_java_spark.operators.ranking import global_ntile
+
     c = load_table(spark, "customer", sf_dir)
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
-        c.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        global_ntile(c, 4, [F.desc("c_acctbal"), F.asc("c_custkey")], out_col="quartile")
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

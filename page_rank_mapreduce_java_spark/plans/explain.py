@@ -39,6 +39,54 @@ def uses_python_udf(df: DataFrame) -> bool:
     return "BatchEvalPython" in plan or "ArrowEvalPython" in plan
 
 
+# Logical nodes that collapse cardinality: a global window ABOVE one of
+# these sees aggregate/limit-sized input, not the raw table (e.g. the
+# per-partition-count prefix sum inside operators/ranking.py).
+_CARDINALITY_SINKS = frozenset({"Aggregate", "GlobalLimit", "LocalLimit"})
+
+
+def _jchildren(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.length())]
+
+
+def _leaf_paths(node) -> list[str]:
+    try:
+        paths = node.relation().location().rootPaths()
+        return [paths.apply(i).toString() for i in range(paths.length())]
+    except Exception:
+        return []
+
+
+def _subtree_scans_table(node, table_names: frozenset[str]) -> bool:
+    name = node.getClass().getSimpleName()
+    if name in _CARDINALITY_SINKS:
+        return False
+    for p in _leaf_paths(node):
+        if any(f"{t}.parquet" in p for t in table_names):
+            return True
+    return any(_subtree_scans_table(c, table_names) for c in _jchildren(node))
+
+
+def unpartitioned_fact_windows(df: DataFrame, fact_tables: frozenset[str]) -> list[str]:
+    """Window operators with an EMPTY partition spec whose input subtree
+    reads a fact-table scan with no intervening aggregate/limit — i.e. a
+    whole-fact-table single-task window, the VERDICT-r1 scale hazard.
+    Returns one description string per offender (empty list = clean)."""
+    offenders: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            if _subtree_scans_table(node, fact_tables):
+                offenders.append(node.nodeName() + ": " + node.argString(120))
+        for c in _jchildren(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return offenders
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split a struct body on commas at bracket depth 0 (decimal(p,s) and
     nested struct/map/array types carry commas of their own)."""

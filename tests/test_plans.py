@@ -65,6 +65,29 @@ def test_no_python_in_relational_paths(spark, sf_dir):
         assert not uses_python_udf(df), f"{name} lowered into Python"
 
 
+def test_no_unpartitioned_window_on_fact_tables(spark, sf_dir):
+    """VERDICT r1 wrong #4: a Window with an empty partition spec over a
+    table that grows with the scale factor funnels the whole table
+    through one task. Every registered query must either partition its
+    windows or rank via the two-pass form (operators/ranking.py).
+    region/nation are the only tables exempt (constant-size dims)."""
+    import __spark_entry__ as entrymod
+    from page_rank_mapreduce_java_spark.plans.explain import (
+        unpartitioned_fact_windows,
+    )
+
+    fact = frozenset(
+        {"customer", "supplier", "part", "orders", "lineitem", "events",
+         "documents", "embeddings"}
+    )
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        bad = unpartitioned_fact_windows(fn(spark, sf_dir), fact)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"single-task windows over fact tables: {offenders}"
+
+
 def test_q1_whole_stage_codegen(spark, sf_dir):
     df = relational.q1_pricing_summary(spark, sf_dir)
     df.collect()  # AQE finalizes (and codegens) only on execution

@@ -1,0 +1,78 @@
+"""Two-pass global ranking (operators/ranking.py) vs the single-task
+window built-ins it replaces — identical results, scalable plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from page_rank_mapreduce_java_spark.operators.ranking import (
+    global_dense_rank,
+    global_ntile,
+    global_row_number,
+)
+
+
+def _sample(spark, n=997):
+    # Collision-heavy value column so dense_rank/ntile tie paths are hit;
+    # unique id for the total-order tiebreak.
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    )
+
+
+def test_global_row_number_matches_window(spark):
+    df = _sample(spark)
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        (r["id"], r["rn"])
+        for r in global_row_number(df, order, num_partitions=7).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_matches_window(spark):
+    # 997 % 4 == 1: exercises the uneven-bucket arithmetic.
+    df = _sample(spark)
+    order = [F.desc("v"), F.asc("id")]
+    got = {(r["id"], r["bucket"]) for r in global_ntile(df, 4, order).collect()}
+    w = Window.orderBy(*order)
+    want = {
+        (r["id"], r["q"])
+        for r in df.withColumn("q", F.ntile(4).over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_global_dense_rank_matches_window(spark):
+    df = _sample(spark)
+    got = {
+        (r["id"], r["rnk"])
+        for r in global_dense_rank(df, F.col("v"), "_v").collect()
+    }
+    w = Window.orderBy(F.desc("v"))
+    want = {
+        (r["id"], r["rnk"])
+        for r in df.withColumn("rnk", F.dense_rank().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_ranking_plan_has_single_full_data_exchange(spark):
+    """The ranked output must not funnel the data through one task: no
+    empty-partition Window over the input, one range exchange."""
+    from page_rank_mapreduce_java_spark.plans.explain import formatted_plan
+
+    import re
+
+    df = global_row_number(_sample(spark), [F.asc("v"), F.asc("id")])
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    # The only Window node is the offsets prefix-sum over per-partition
+    # counts (one row per partition), never the full input.
+    assert len(re.findall(r"(?m)^\(\d+\) Window", plan)) <= 1
