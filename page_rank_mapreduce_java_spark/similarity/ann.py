@@ -11,9 +11,10 @@ Two paths (SURVEY.md §7 M5):
   buckets. Hyperplane weights come from a deterministic LCG so the same
   buckets are computable in any engine (and in the DuckDB oracle).
 
-The true 100 TB path would add an IVF variant (k-means coarse quantizer,
-probe nearest centroids); that needs a training step and is out of scope
-for the oracle surface — the LSH variant is the same join shape.
+- ivf_topk: IVF coarse quantizer — k-means-trained centroids (Lloyd
+  iterations as pure DataFrame ops, deterministic and oracle-checkable),
+  probe the nearest cells per query, search only their members. Candidate
+  generation is an equi-join on centroid_id.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from page_rank_mapreduce_java_spark.functions.vectors import cosine
+from page_rank_mapreduce_java_spark.functions.vectors import cosine, cosine_sql
 
 LCG_A = 1103515245
 LCG_C = 12345
@@ -113,12 +114,118 @@ def ivf_assign(
     )
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means (cosine assignment, per-dimension mean
+    update) as pure DataFrame ops. Returns DataFrame[centroid_id LONG,
+    cvec ARRAY<DOUBLE>].
+
+    Determinism/exactness (the oracle contract): init = first-k vectors by
+    id; assignment = argmax cosine with centroid-id tiebreak (sequential-
+    fold cosine, bit-identical to the DuckDB rendering); the E-step mean
+    snaps every element to integer micro-units BEFORE the sum, so the sum
+    is order-independent and the mean is the same IEEE double in any
+    engine. Empty clusters keep their previous centroid.
+
+    Scale: centroids broadcast (k rows); assignment is one narrow pass +
+    per-vector top-1 window over k candidates; the update is one shuffle
+    of (k × dim) partial sums — Lloyd's standard MapReduce shape. The
+    corpus is never collected or cross-joined with itself.
+    """
+    c = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+    corp = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        w = Window.partitionBy("vid").orderBy(
+            F.desc(cosine(F.col("v"), F.col("cvec"))), F.asc("centroid_id")
+        )
+        assign = (
+            corp.join(F.broadcast(c), F.lit(True))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "v", "centroid_id")
+        )
+        x = assign.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+        micro = F.round(F.col("x").cast("double") * 1e6).cast("long")
+        dims = x.groupBy("centroid_id", "pos").agg(
+            F.sum(micro).alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        means = (
+            dims.withColumn("val", F.col("s").cast("double") / F.col("n") / 1e6)
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("mvec")
+            )
+        )
+        c = (
+            c.join(means, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("mvec", "cvec").alias("cvec"))
+        )
+    return c
+
+
+def kmeans_sql(
+    k: int = 16, iters: int = 2, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[str, str]:
+    """DuckDB CTE chain computing the identical trained centroids.
+    Returns (cte_body, final_cte_name); embed as ``WITH {cte_body} ...``."""
+    parts = [
+        f"""c0 AS MATERIALIZED (
+        SELECT {id_col} AS centroid_id,
+               list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM {table} ORDER BY {id_col} LIMIT {k})"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+        SELECT vid, centroid_id FROM (
+          SELECT e.{id_col} AS vid, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.{id_col}
+                   ORDER BY {cosine_sql(f'e.{vec_col}', 'c.cvec')} DESC,
+                            c.centroid_id ASC) AS rn
+          FROM {table} e CROSS JOIN c{p} c) WHERE rn = 1),
+      d{i} AS MATERIALIZED (
+        SELECT centroid_id, pos,
+               CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e6 AS val
+        FROM (SELECT a.centroid_id,
+                     unnest(range(1, len(e.{vec_col}) + 1)) AS pos,
+                     unnest(e.{vec_col}) AS x
+              FROM a{i} a JOIN {table} e ON e.{id_col} = a.vid)
+        GROUP BY centroid_id, pos),
+      m{i} AS MATERIALIZED (
+        SELECT centroid_id, list(val ORDER BY pos) AS mvec
+        FROM d{i} GROUP BY centroid_id),
+      c{i} AS MATERIALIZED (
+        SELECT c.centroid_id, COALESCE(m.mvec, c.cvec) AS cvec
+        FROM c{p} c LEFT JOIN m{i} m USING (centroid_id))"""
+        )
+    return ",\n      ".join(parts), f"c{iters}"
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
     n_centroids: int = 16,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -127,14 +234,13 @@ def ivf_topk(
     equi-join on centroid_id — the same never-cross-join shape as LSH,
     with recall tuned by n_probe/n_centroids.
 
-    Centroids are (deterministically) the first ``n_centroids`` corpus
-    vectors by id — swap for k-means output in production; the plan shape
-    is identical.
+    Centroids come from the deterministic ``kmeans_train`` quantizer
+    (``train_iters`` Lloyd rounds seeded with the first ``n_centroids``
+    vectors), so cells track the data distribution — the recall profile a
+    first-N centroid pick cannot give on clustered data.
     """
-    centroids = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    centroids = kmeans_train(
+        corpus, k=n_centroids, iters=train_iters, id_col=id_col, vec_col=vec_col
     )
     assignment = ivf_assign(corpus, centroids, id_col, vec_col)
 

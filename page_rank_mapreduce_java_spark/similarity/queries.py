@@ -10,6 +10,8 @@ from page_rank_mapreduce_java_spark.functions.vectors import cosine_sql
 from page_rank_mapreduce_java_spark.similarity.ann import (
     brute_force_topk,
     ivf_topk,
+    kmeans_sql,
+    kmeans_train,
     lsh_buckets,
     lsh_buckets_sql,
 )
@@ -18,6 +20,7 @@ N_QUERY_VECS = 8
 TOP_K = 10
 IVF_CENTROIDS = 16
 IVF_PROBES = 4
+KMEANS_ITERS = 2
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +47,29 @@ def q_ann_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    return ivf_topk(e, queries, k=TOP_K, n_probe=IVF_PROBES, n_centroids=IVF_CENTROIDS)
+    return ivf_topk(
+        e, queries, k=TOP_K, n_probe=IVF_PROBES, n_centroids=IVF_CENTROIDS,
+        train_iters=KMEANS_ITERS,
+    )
+
+
+def q_embedding_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse quantizer's trained centroids as a first-class query:
+    k-means (Lloyd, cosine assignment, micro-unit-exact means) unrolled to
+    a fixed deterministic iteration count on both engines."""
+    e = load_table(spark, "embeddings", sf_dir)
+    c = kmeans_train(e, k=IVF_CENTROIDS, iters=KMEANS_ITERS)
+    # centroid_e6 BIGINT, not ROUND(v, 6): fractional-scale double rounding
+    # diverges between engines on non-representable decimals (Spark goes
+    # through the shortest decimal repr, DuckDB multiplies), while
+    # round-to-integer of the identical double agrees everywhere.
+    return c.select(
+        "centroid_id", F.posexplode("cvec").alias("pos0", "v")
+    ).select(
+        "centroid_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.round(F.col("v") * 1e6).cast("long").alias("centroid_e6"),
+    )
 
 
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +102,10 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_bucket_sizes": q_ann_lsh_bucket_sizes,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
 }
+
+_KMEANS_CTES, _KMEANS_FINAL = kmeans_sql(k=IVF_CENTROIDS, iters=KMEANS_ITERS)
 
 ORACLES = {
     "embedding_centroids": """
@@ -113,9 +141,18 @@ ORACLES = {
         FROM (SELECT {lsh_buckets_sql()} AS bucket FROM embeddings)
         GROUP BY bucket
     """,
+    "embedding_kmeans_centroids": f"""
+        WITH {_KMEANS_CTES}
+        SELECT centroid_id, pos,
+               CAST(ROUND(v * 1e6, 0) AS BIGINT) AS centroid_e6 FROM (
+          SELECT centroid_id,
+                 unnest(range(1, len(cvec) + 1)) AS pos,
+                 unnest(cvec) AS v
+          FROM {_KMEANS_FINAL})
+    """,
     "ann_ivf_topk": f"""
-        WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
-                      FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+        WITH {_KMEANS_CTES},
+        cent AS (SELECT centroid_id, cvec FROM {_KMEANS_FINAL}),
         assign AS (
           SELECT vec_id AS neighbor_id, centroid_id FROM (
             SELECT e.vec_id, c.centroid_id,

@@ -41,3 +41,18 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     # and by construction can never exceed exact search.
     assert 0.3 <= recall <= 1.0
     assert len(approx_set) <= len(exact_set)
+
+
+def test_kmeans_training_moves_centroids(spark, sf_dir):
+    """Lloyd iterations must actually update the quantizer: trained
+    centroids differ from the first-k seed vectors, stay finite, and
+    every cluster id survives (empty clusters keep their previous
+    centroid, so k never shrinks)."""
+    from page_rank_mapreduce_java_spark.similarity.ann import kmeans_train
+
+    e = load_table(spark, "embeddings", sf_dir)
+    seed = {r.centroid_id: list(r.cvec) for r in kmeans_train(e, k=8, iters=0).collect()}
+    trained = {r.centroid_id: list(r.cvec) for r in kmeans_train(e, k=8, iters=2).collect()}
+    assert set(trained) == set(seed)
+    assert any(trained[c] != seed[c] for c in trained)
+    assert all(all(abs(x) < 1e6 for x in v) for v in trained.values())
