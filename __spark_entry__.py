@@ -100,6 +100,7 @@ def _registry() -> tuple[dict, dict]:
     from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.functions import text_queries
+    from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
 
     # Import errors must propagate: silently shrinking the registry would
     # make the correctness gate pass on fewer queries without anyone
@@ -113,6 +114,7 @@ def _registry() -> tuple[dict, dict]:
         dedup_queries,
         sim_queries,
         text_queries,
+        stream_queries,
     ]
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -113,12 +113,23 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: st
     watermark passes it, so state size tracks the watermark window — the
     way a 100 TB/day ingest dedups without unbounded memory. (Plain
     ``dropDuplicates`` on a stream never expires state.) A key recurring
-    after the watermark expires is re-emitted; batch inputs fall back to
-    exact ``dropDuplicates`` (bounded data needs no expiry)."""
+    after the watermark expires is re-emitted.
+
+    Batch inputs keep the FIRST row per key in (ts, event_id) order —
+    the deterministic equivalent of the stream's keep-first-arrival
+    semantics (``dropDuplicates`` would keep an arbitrary row, which is
+    neither parity nor oracle-checkable). One shuffle on the keys."""
     keys = keys or ["user_id", "event_type"]
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
-    return events.dropDuplicates(keys)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def click_attribution(clicks: DataFrame, purchases: DataFrame, *, within: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
