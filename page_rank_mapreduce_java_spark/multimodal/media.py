@@ -79,16 +79,59 @@ def synthesize_media(spark: SparkSession, n: int = 64, partitions: int = 8) -> D
     return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, int, int]:
-    """STUB decode. Understands only the synthetic codec; real media bytes
-    hit the NotImplementedError — replace this function's body with
-    PIL/soundfile/ffmpeg to productionize."""
-    if payload[:4] != _MAGIC:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libs not present in "
-            "this environment; only the synthetic SYNM codec is supported"
-        )
-    return struct.unpack("<iiiq", payload[4:24])
+def _decode_bmp(payload: bytes) -> tuple[int, int, None, None]:
+    """Real BMP decode (pure Python): BITMAPFILEHEADER ('BM', 14 bytes)
+    then a DIB header whose first field is its own size; BITMAPINFOHEADER
+    and later variants carry int32 width at 18 and int32 height at 22
+    (negative height = top-down rows)."""
+    if len(payload) < 26:
+        raise ValueError("truncated BMP: no room for BITMAPINFOHEADER dims")
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size == 12:  # ancient BITMAPCOREHEADER: uint16 dims
+        w, h = struct.unpack_from("<HH", payload, 18)
+        return int(w), int(h), None, None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    return int(w), abs(int(h)), None, None
+
+
+def _decode_wav(payload: bytes) -> tuple[None, None, int, int]:
+    """Real WAV (RIFF) decode (pure Python): walk the chunk list, read
+    channels/rate/width from 'fmt ', duration from the 'data' size."""
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("RIFF payload is not WAVE")
+    pos, sr, block_align, data_bytes = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and size >= 16:
+            _fmt, n_ch, sr, _brate, block_align, _bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            data_bytes = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if sr is None or data_bytes is None or not block_align:
+        raise ValueError("WAV missing fmt or data chunk")
+    duration_ms = data_bytes * 1000 // (sr * block_align)
+    return None, None, int(sr), int(duration_ms)
+
+
+def _decode_payload(payload: bytes) -> tuple[int | None, int | None, int | None, int | None]:
+    """Decode a media payload's header into (width, height, sample_rate,
+    duration_ms). Real formats handled in pure Python: BMP images and
+    RIFF/WAV audio, plus the deterministic synthetic SYNM codec used by
+    the generated fixtures. Other containers (PNG/JPEG/MP4/...) need
+    codec libraries not present in this environment and raise
+    NotImplementedError at this single extension point."""
+    if payload[:4] == _MAGIC:
+        return struct.unpack("<iiiq", payload[4:24])
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        "unsupported media container (supported: BMP, RIFF/WAV, SYNM); "
+        "PNG/JPEG/MP4 decoding needs image/av libs not in this environment"
+    )
 
 
 DECODED_SCHEMA = (
@@ -157,7 +200,9 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
                 w, h, sr, dur = _decode_payload(payload)
-                if r["kind"] == "image":
+                if r["kind"] == "image" and payload[:4] == _MAGIC:
+                    # Pixel resampling for real containers (BMP, ...) needs
+                    # image libs; only the synthetic codec re-encodes here.
                     w, h = target_w, target_h
                     payload = _MAGIC + struct.pack("<iiiq", w, h, sr, dur) + payload[24:]
                 out.append(

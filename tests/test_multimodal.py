@@ -27,9 +27,65 @@ def test_synthesize_and_decode_roundtrip(spark):
     assert [tuple(r) for r in again] == [tuple(r) for r in decoded]
 
 
-def test_real_media_bytes_hit_stub(spark):
+def test_unsupported_container_raises(spark):
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def _tiny_bmp(w: int = 2, h: int = 2) -> bytes:
+    """A real, viewer-openable 24bpp BMP built byte-by-byte."""
+    import struct
+
+    row = bytearray()
+    for x in range(w):
+        row += bytes((x * 40 % 256, 80, 160))  # BGR
+    row += b"\x00" * ((4 - len(row) % 4) % 4)  # 4-byte row padding
+    pixels = bytes(row) * h
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    off = 14 + 40
+    filehdr = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
+    return filehdr + dib + pixels
+
+
+def _tiny_wav(sr: int = 8000, ms: int = 250) -> bytes:
+    """A real, player-openable 16-bit mono PCM WAV of silence."""
+    import struct
+
+    n_samples = sr * ms // 1000
+    data = b"\x00\x00" * n_samples
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_bmp_and_wav_decode_through_map_in_pandas(spark):
+    """Real (generated, no libraries) BMP and WAV bytes flow through the
+    same mapInPandas decode path as the synthetic codec."""
+    from page_rank_mapreduce_java_spark.multimodal.media import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", bytearray(_tiny_bmp(3, 2)), (3, 2, None, None)),
+        (2, "audio", bytearray(_tiny_wav(8000, 250)), (None, None, 8000, None)),
+    ]
+    df = spark.createDataFrame(
+        [(mid, kind, payload, None) for mid, kind, payload, _ in rows], MEDIA_SCHEMA
+    )
+    got = {r.media_id: r for r in decode_media(df).collect()}
+    assert (got[1].width, got[1].height) == (3, 2)
+    assert got[1].sample_rate is None
+    assert got[2].sample_rate == 8000
+    assert got[2].duration_ms == 250
+    assert got[2].width is None
+
+
+def test_bmp_top_down_and_core_header_variants(spark):
+    import struct
+
+    top_down = bytearray(_tiny_bmp(4, 3))
+    struct.pack_into("<i", top_down, 22, -3)  # negative height = top-down
+    w, h, _, _ = _decode_payload(bytes(top_down))
+    assert (w, h) == (4, 3)
 
 
 def test_extract_features_shape(spark):
