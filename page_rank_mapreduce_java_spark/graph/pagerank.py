@@ -63,6 +63,7 @@ def pagerank(
     partitions: int | None = None,
     record_dangling: bool = False,
     personalize: DataFrame | None = None,
+    reliable_checkpoint_every: int = 0,
 ) -> PageRankResult:
     """Damped PageRank with dangling-mass redistribution over an edge list.
 
@@ -83,8 +84,21 @@ def pagerank(
     Scale: ``links`` is shuffled once onto the join key and persisted —
     iterations re-shuffle only the rank vector (8·N bytes·3 cols), never
     the edges. Contribution sums aggregate map-side before the exchange.
+
+    ``reliable_checkpoint_every=k``: every k-th iteration cuts lineage
+    with a RELIABLE ``checkpoint()`` to the session's checkpoint dir
+    instead of ``localCheckpoint``. localCheckpoint blocks live on
+    executors — on a real cluster losing ANY executor after iteration 1
+    kills the job; the reliable cadence bounds recomputation to k
+    supersteps at the cost of a checkpoint-dir write per cadence. Requires
+    ``spark.sparkContext.setCheckpointDir(...)``.
     """
     spark = edges.sparkSession
+    if reliable_checkpoint_every and spark.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_checkpoint_every requires "
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+        )
 
     # The edge input may itself be an expensive plan (e.g. a join); it is
     # read twice during setup (degree aggregation + probe side), so cache
@@ -185,7 +199,11 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        new_ranks = cut_lineage(new_ranks)  # the one action per iteration
+        # The one action per iteration; reliable on the cadence boundary.
+        reliable = bool(
+            reliable_checkpoint_every and (it + 1) % reliable_checkpoint_every == 0
+        )
+        new_ranks = cut_lineage(new_ranks, reliable=reliable)
 
         if tol is not None:
             delta = (

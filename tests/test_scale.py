@@ -29,6 +29,48 @@ def test_emr_scale_workload(spark):
     assert top["id"] == 0
 
 
+def test_reliable_checkpoint_requires_dir(spark):
+    # Must run before any test that sets the session checkpoint dir
+    # (a set dir cannot be unset on a live SparkContext).
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            pagerank(chain_edges(spark, 3), num_iterations=2, reliable_checkpoint_every=1)
+
+
+def test_emr_workload_with_reliable_checkpoints(spark, tmp_path):
+    """The same k=1000 × 10-iteration production workload with the
+    fault-tolerant lineage cut: checkpoint() to a reliable dir every 5
+    supersteps (the cadence a 1000-executor run needs — localCheckpoint
+    blocks die with any executor). Results must be identical to the
+    localCheckpoint run; timing delta recorded in PERF.md."""
+    import time
+
+    sc = spark.sparkContext
+    prev_dir = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        t0 = time.time()
+        res = pagerank(
+            chain_edges(spark, 1000), num_iterations=10, reliable_checkpoint_every=5
+        )
+        elapsed = time.time() - t0
+        assert res.num_nodes == 1_000_001
+        mass = res.ranks.agg(F.sum("rank")).first()[0]
+        assert mass == pytest.approx(1.0, abs=1e-9)
+        base = pagerank(chain_edges(spark, 1000), num_iterations=10)
+        diff = (
+            res.ranks.alias("a")
+            .join(base.ranks.alias("b"), "id")
+            .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d"))
+            .first()["d"]
+        )
+        assert diff == pytest.approx(0.0, abs=1e-15)
+        assert elapsed < 300
+    finally:
+        if prev_dir is not None:
+            sc.setCheckpointDir(prev_dir)
+
+
 def test_salted_aggregate_matches_plain(spark):
     df = spark.range(10_000).select(
         (F.col("id") % 7).alias("k"), (F.col("id") % 100).alias("v")
