@@ -71,11 +71,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - warmup must not kill the bench
             print(f"bench: warmup failed for {name}: {e}", file=sys.stderr)
 
+    # Query functions persist() intra-query intermediates (LSH signatures,
+    # self-join inputs); those caches are only useful within one
+    # materialization, so release them between queries — otherwise the
+    # warmup + timed runs accumulate executor storage for the session.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
 

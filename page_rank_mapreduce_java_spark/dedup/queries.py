@@ -12,6 +12,15 @@ Scale design (the 100 TB story):
   buckets (boilerplate docs) are AQE skew-join territory.
 - blocked Jaccard / cosine verification: candidate pairing is always
   through an equi-join key (block or bucket), never a cross join.
+
+Cache contract: some queries ``persist()`` an intermediate that multiple
+branches of the same plan read (LSH signatures, self-join inputs). These
+are intra-query caches on the *returned, not-yet-executed* plan, so the
+query function cannot unpersist them itself. Callers that loop over many
+queries in one session (bench.py, tools/check_oracle.py) call
+``spark.catalog.clearCache()`` after materializing each result; one-off
+callers can rely on the ContextCleaner reclaiming blocks when the
+DataFrame goes out of scope.
 """
 
 from __future__ import annotations

@@ -46,12 +46,20 @@ def asof_join(
     Right-side ties on (on, ts) are NOT resolved here — pre-aggregate the
     right side (e.g. keep max id per (key, ts)) so "latest" is well
     defined; otherwise whichever duplicate sorts last wins.
+
+    NULL payload values: each payload column is carried forward
+    independently with ``last(..., ignorenulls=True)``, so a right row
+    whose value in some payload column is NULL contributes the *previous*
+    row's value for that column (per-column last-observation-carried-
+    forward). Match detection does not depend on payload nullability — an
+    internal always-non-null marker decides inner vs unmatched.
     """
     left_cols = [c for c in left.columns if c not in (on, ts)]
     rights = right.select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
+        F.lit(1).alias("_m"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *[F.col(c) for c in payload],
     )
@@ -59,6 +67,7 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast("int").alias("_m"),
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
     )
@@ -69,11 +78,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = rights.unionByName(lefts)
-    for c in payload:
+    for c in (*payload, "_m"):
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     out = out.filter(F.col("_side") == 1)
     if how == "inner":
-        out = out.filter(F.col(payload[0]).isNotNull())
+        out = out.filter(F.col("_m").isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     return out.select(

@@ -125,3 +125,36 @@ def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+def test_null_payload_right_row_still_matches_inner(spark):
+    """A right row whose payload value is legitimately NULL must still
+    count as a match for inner semantics (the marker column, not payload
+    nullability, decides matched-ness); the NULL column itself carries
+    the previous observation per the documented LOCF contract."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-04"), 500)], "k long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01"), 7, "old"), (1, _ts("2024-01-03"), None, "new")],
+        "k long, ts timestamp, oid long, tag string",
+    )
+    rows = asof_join(left, right, on="k", ts="ts", payload=["oid", "tag"]).collect()
+    assert len(rows) == 1  # matched despite oid IS NULL on the latest row
+    assert rows[0]["tag"] == "new"
+    assert rows[0]["oid"] == 7  # per-column LOCF: NULL skips to prior value
+
+
+def test_null_payload_only_right_row_matches(spark):
+    """Even when the ONLY preceding right row is all-NULL payload, inner
+    keeps the left row (pre-marker versions silently dropped it)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-02"), 1)], "k long, ts timestamp, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01"), None, None)],
+        "k long, ts timestamp, oid long, tag string",
+    )
+    rows = asof_join(left, right, on="k", ts="ts", payload=["oid", "tag"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["oid"] is None and rows[0]["tag"] is None

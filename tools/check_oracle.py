@@ -72,6 +72,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # Query-internal persist()s (LSH signatures etc.) are useless
+            # after the collect; release them so a 100-query sweep doesn't
+            # accumulate executor storage. (Checkpointed data — the
+            # memoized pagerank vector — lives outside this cache.)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
