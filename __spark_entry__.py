@@ -71,6 +71,19 @@ _NEW_R2 = (
     "events_session_windows",
     "events_dedup_first",
     "embedding_kmeans_centroids",
+    # TPC-H completion suite (relational5.py), added round 2.
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity",
+    "q21_late_suppliers",
+    "q22_dormant_customers",
 )
 
 
@@ -96,6 +109,7 @@ def _registry() -> tuple[dict, dict]:
         relational2,
         relational3,
         relational4,
+        relational5,
     )
     from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
@@ -111,6 +125,7 @@ def _registry() -> tuple[dict, dict]:
         relational2,
         relational3,
         relational4,
+        relational5,
         dedup_queries,
         sim_queries,
         text_queries,

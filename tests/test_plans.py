@@ -60,9 +60,47 @@ def test_top25_uses_take_ordered(spark, sf_dir):
 
 
 def test_no_python_in_relational_paths(spark, sf_dir):
-    for name, fn in {**relational.QUERIES, **gq.QUERIES, **dq.QUERIES}.items():
+    from page_rank_mapreduce_java_spark.operators import relational5
+
+    for name, fn in {
+        **relational.QUERIES, **gq.QUERIES, **dq.QUERIES, **relational5.QUERIES
+    }.items():
         df = fn(spark, sf_dir)
         assert not uses_python_udf(df), f"{name} lowered into Python"
+
+
+def test_q6_single_scan_full_pushdown(spark, sf_dir):
+    """TPC-H q6 is THE pushdown benchmark: all three predicates reach the
+    parquet reader and only the 4 referenced columns are read."""
+    from page_rank_mapreduce_java_spark.operators import relational5
+
+    df = relational5.q_q6_forecast_revenue(spark, sf_dir)
+    pushed = scan_pushed_filters(df)
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"l_shipdate", "l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_exists_shapes_plan_semi_and_anti(spark, sf_dir):
+    """q4's EXISTS and q22's NOT EXISTS must decorrelate to semi/anti
+    joins — a correlated per-row probe would be quadratic at scale."""
+    from page_rank_mapreduce_java_spark.operators import relational5
+
+    q4 = formatted_plan(relational5.q_q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in q4
+    q22 = formatted_plan(relational5.q_q22_dormant_customers(spark, sf_dir))
+    assert "LeftAnti" in q22
+    assert "CartesianProduct" not in q22  # 1-row scalar broadcasts
+
+
+def test_q15_groupwise_max_avoids_global_window(spark, sf_dir):
+    """The group-wise-max query must use the broadcast-scalar form, not
+    an unpartitioned rank window (the classic single-task trap)."""
+    from page_rank_mapreduce_java_spark.operators import relational5
+
+    plan = formatted_plan(relational5.q_q15_top_supplier(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def test_no_unpartitioned_window_on_fact_tables(spark, sf_dir):
