@@ -84,6 +84,9 @@ _NEW_R2 = (
     "q17_small_quantity",
     "q21_late_suppliers",
     "q22_dormant_customers",
+    # Motif counting / core decomposition (graph/motifs.py), round 2.
+    "graph_triangle_counts",
+    "graph_kcore",
 )
 
 

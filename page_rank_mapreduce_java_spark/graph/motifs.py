@@ -1,0 +1,184 @@
+"""Motif counting and core decomposition on the iterative-graph chassis.
+
+New operator family beyond the reference's single algorithm (SURVEY.md §2
+covers PageRank only; these extend the graph surface the way a user of a
+real engine expects): triangle counting and k-core decomposition, both
+pure DataFrame ops with integer-exact, DuckDB-oracle-checkable results.
+
+Corpus graph: suppliers co-occurring in an order (distinct
+(l_suppkey_a < l_suppkey_b) pairs per l_orderkey). Lines-per-order is
+bounded by the order's size (single digits at any SF), so the
+pair-generating self-join on l_orderkey emits O(orders) rows — never
+quadratic, no skew concentration.
+
+Triangle counting (the Cohen / Suri-Vassilvitskii MapReduce formulation,
+re-expressed relationally):
+- orient each undirected edge from its (degree, id)-smaller endpoint to
+  the larger; every out-neighborhood is then ≤ O(√m), so the wedge
+  self-join — the only superlinear step — is bounded by m^{3/2} total
+  wedge rows rather than Σdeg² (the celebrity-node blowup).
+- a triangle is a wedge (u→v, u→w) whose closing pair (v,w) exists in
+  the canonical src<dst edge set: one equi-join, counted exactly once.
+
+k-core: synchronous peeling — each round drops every node whose degree
+within the surviving subgraph is < k. Deterministic for a fixed round
+count, so the oracle unrolls the same rounds as a CTE chain; rounds are
+degree-vector-sized joins against the persisted edge relation (the
+PageRank superstep cost shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.plans.checkpoints import cut_lineage
+
+
+def _undirect(edges: DataFrame) -> DataFrame:
+    """Both directions of a canonical (src<dst) simple edge set."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph given as canonical ``src < dst`` pairs.
+
+    Returns DataFrame[id long, triangles long] covering every node that
+    appears in ``edges`` (0 for triangle-free nodes).
+    """
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    und = _undirect(edges)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+
+    # Orient by (degree, id): guarantees out-degree ≤ O(√m) and a total
+    # order, so each triangle closes from exactly one apex wedge.
+    o = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")), "dst")
+        .filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    w1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    closing = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])
+
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nodes = deg.select("id")
+    return nodes.join(per_node, "id", "left").select(
+        "id", F.coalesce("t", F.lit(0)).cast("long").alias("triangles")
+    )
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """Synchronous k-core peeling for a fixed round count.
+
+    Returns DataFrame[id long, core_degree long]: nodes surviving
+    ``rounds`` peels with their degree inside the surviving subgraph.
+    A fixed round budget (vs a convergence test) keeps the result an
+    exact function of the input, so the DuckDB oracle can unroll the
+    identical rounds; peeling converges once no round removes a node
+    (bounded by the graph's degeneracy ordering depth — single digits on
+    co-occurrence graphs).
+    """
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    und = _undirect(edges).persist()
+    active = cut_lineage(und.select(F.col("src").alias("id")).distinct())
+    degrees = None
+    for _ in range(rounds):
+        alive = und.join(active.select(F.col("id").alias("src")), "src").join(
+            active.select(F.col("id").alias("dst")), "dst"
+        )
+        degrees = alive.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
+        active = cut_lineage(degrees.filter(F.col("core_degree") >= k).select("id"))
+    out = degrees.join(active, "id").select(
+        "id", F.col("core_degree").cast("long").alias("core_degree")
+    )
+    # Materialize before releasing the edge cache the plan reads.
+    out = cut_lineage(out)
+    und.unpersist()
+    return out
+
+
+# --- DuckDB oracle builders ---------------------------------------------------
+
+
+def triangles_sql(edges_cte: str) -> str:
+    """Oracle for ``triangle_counts``: ``edges_cte`` must yield canonical
+    (src, dst) pairs with src < dst."""
+    return f"""
+        WITH edges AS MATERIALIZED ({edges_cte}),
+        und AS MATERIALIZED (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges
+        ),
+        deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY 1),
+        o AS (
+          SELECT u.src, u.dst FROM und u
+          JOIN deg a ON u.src = a.id JOIN deg b ON u.dst = b.id
+          WHERE (a.d < b.d) OR (a.d = b.d AND u.src < u.dst)
+        ),
+        tris AS (
+          SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+          FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+          JOIN edges e ON e.src = w1.dst AND e.dst = w2.dst
+        ),
+        per_node AS (
+          SELECT id, COUNT(*) AS t
+          FROM (
+            SELECT u AS id FROM tris
+            UNION ALL SELECT v FROM tris
+            UNION ALL SELECT w FROM tris
+          ) GROUP BY 1
+        )
+        SELECT deg.id, COALESCE(per_node.t, 0) AS triangles
+        FROM deg LEFT JOIN per_node ON deg.id = per_node.id
+    """
+
+
+def kcore_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
+    """Oracle for ``kcore``: the same synchronous peel unrolled as a CTE
+    chain (one degree + one filter CTE per round)."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED ({edges_cte}),
+        und AS MATERIALIZED (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges
+        ),
+        a0 AS (SELECT DISTINCT src AS id FROM und)"""
+    ]
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS (
+          SELECT u.src AS id, COUNT(*) AS core_degree FROM und u
+          JOIN {prev} x ON u.src = x.id JOIN {prev} y ON u.dst = y.id
+          GROUP BY 1
+        ),
+        a{r} AS (SELECT id FROM d{r} WHERE core_degree >= {k})"""
+        )
+        prev = f"a{r}"
+    return (
+        ",\n        ".join(parts)
+        + f"""
+        SELECT d{rounds}.id, core_degree FROM d{rounds}
+        JOIN a{rounds} ON d{rounds}.id = a{rounds}.id
+    """
+    )

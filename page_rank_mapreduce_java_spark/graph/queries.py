@@ -215,6 +215,46 @@ d{i} AS MATERIALIZED (SELECT d.id,
     return base + "".join(steps) + f"\nSELECT id, dist FROM d{hops}"
 
 
+# Supplier co-occurrence graph: suppliers linked when they serve the same
+# order. Lines-per-order is bounded (single digits at any SF), so the
+# pair self-join on l_orderkey is O(orders) — and unlike the bipartite
+# customer→supplier graph, this one actually contains triangles.
+COOC_EDGES_SQL = """
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    a, b = l.alias("a"), l.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from page_rank_mapreduce_java_spark.graph.motifs import triangle_counts
+
+    return triangle_counts(cooccurrence_edges(spark, sf_dir))
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from page_rank_mapreduce_java_spark.graph.motifs import kcore
+
+    return kcore(cooccurrence_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
 def _pagerank_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
     base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
 nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
@@ -255,6 +295,8 @@ QUERIES = {
     "graph_connected_components": q_connected_components,
     "graph_bfs_hops": q_bfs_hops,
     "graph_personalized_pagerank": q_personalized_pagerank,
+    "graph_triangle_counts": q_triangle_counts,
+    "graph_kcore": q_kcore,
 }
 
 ORACLES = {
@@ -283,3 +325,10 @@ ORACLES = {
     "graph_bfs_hops": _bfs_oracle_sql(),
     "graph_personalized_pagerank": _ppr_oracle_sql(),
 }
+
+# Import placed late to keep the oracle builders' reading order; the
+# module has no import-time Spark dependency.
+from page_rank_mapreduce_java_spark.graph.motifs import kcore_sql, triangles_sql  # noqa: E402
+
+ORACLES["graph_triangle_counts"] = triangles_sql(COOC_EDGES_SQL)
+ORACLES["graph_kcore"] = kcore_sql(COOC_EDGES_SQL, k=KCORE_K, rounds=KCORE_ROUNDS)
