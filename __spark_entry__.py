@@ -87,6 +87,8 @@ _NEW_R2 = (
     # Motif counting / core decomposition (graph/motifs.py), round 2.
     "graph_triangle_counts",
     "graph_kcore",
+    "text_tfidf_top_terms",
+    "events_enriched_segments",
 )
 
 

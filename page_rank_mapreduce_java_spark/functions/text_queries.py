@@ -117,8 +117,43 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, "documents", sf_dir), chunk_words=32)
 
 
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document — the TF-IDF selection,
+    ranked by (tf DESC, df ASC, term) on exact integers instead of a
+    float tf·idf product (libm's log differs across engines; the integer
+    ordering is the same ranking for fixed tf because idf is monotone
+    decreasing in df).
+
+    Scale: tf is one doc-keyed shuffle of exploded words with map-side
+    combine; df is one vocab-keyed shuffle of the DISTINCT (doc, word)
+    pairs tf already produced (no second pass over raw text); the join
+    back is vocab-sized on the build side and the rank window partitions
+    by doc_id — no global sort anywhere. Stopwords are excluded up front
+    (they'd win every tf race and carry no signal)."""
+    d = load_table(spark, "documents", sf_dir)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    wx = d.select(
+        "doc_id",
+        F.explode(F.filter(words(F.col("text")), lambda x: ~F.array_contains(stop_arr, x))).alias(
+            "term"
+        ),
+    )
+    tf = wx.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df")
+    )
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
@@ -136,6 +171,21 @@ from page_rank_mapreduce_java_spark.functions.chunking import chunk_sql as _chun
 
 ORACLES = {
     "text_chunks": _chunk_sql(32),
+    "text_tfidf_top_terms": f"""
+        WITH wx AS (
+          SELECT doc_id, term
+          FROM (SELECT doc_id, unnest({WORDS_SQL}) AS term FROM documents)
+          WHERE term NOT IN ({_stoplist})
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wx GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id, rank, term, tf, df FROM (
+          SELECT doc_id, term, tf, df,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tf DESC, df ASC, term ASC) AS rank
+          FROM tf JOIN df USING (term)
+        ) WHERE rank <= 3
+    """,
     "text_token_count": f"""
         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,

@@ -170,6 +170,31 @@ def click_attribution(clicks: DataFrame, purchases: DataFrame, *, within: str = 
     )
 
 
+def enrich_by_segment(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the event flow to the customer
+    dimension (user_id = c_custkey) and roll up exact cent totals per
+    (market segment, event type).
+
+    Streaming semantics: a stream-static inner join is stateless — Spark
+    re-broadcasts the static side per micro-batch, no watermark needed on
+    either side; the downstream aggregation holds segment-cardinality
+    state. Batch semantics are identical (the oracle gate checks this
+    exact function). On a cluster the dimension side stays broadcast-
+    sized (segments × customers, dimension table) — the canonical
+    enrichment topology for a 100 TB/day ingest."""
+    from page_rank_mapreduce_java_spark.functions.money import cents
+
+    dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
+    return (
+        events.join(dim, events.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("total_cents"),
+        )
+    )
+
+
 def write_stream_foreach_batch(df: DataFrame, out_dir: str) -> None:
     """Exactly-once-style sink: every micro-batch lands as its own parquet
     dir keyed by epoch — the idempotent-writer pattern a transactional

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from page_rank_mapreduce_java_spark.catalog import load_table
-from page_rank_mapreduce_java_spark.streaming.events import dedup_stream, session_windows
+from page_rank_mapreduce_java_spark.streaming.events import (
+    dedup_stream,
+    enrich_by_segment,
+    session_windows,
+)
 
 
 def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,9 +33,18 @@ def q_events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("user_id", "event_type", "event_id")
 
 
+def q_events_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.enrich_by_segment (stream-static broadcast enrichment)
+    in batch: cent-exact totals per (market segment, event type)."""
+    return enrich_by_segment(
+        load_table(spark, "events", sf_dir), load_table(spark, "customer", sf_dir)
+    )
+
+
 QUERIES = {
     "events_session_windows": q_events_session_windows,
     "events_dedup_first": q_events_dedup_first,
+    "events_enriched_segments": q_events_enriched_segments,
 }
 
 ORACLES = {
@@ -63,5 +76,11 @@ ORACLES = {
                  row_number() OVER (PARTITION BY user_id, event_type
                                     ORDER BY ts, event_id) AS rn
           FROM events) WHERE rn = 1
+    """,
+    "events_enriched_segments": """
+        SELECT c_mktsegment, event_type, COUNT(*) AS n,
+               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
     """,
 }

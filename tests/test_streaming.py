@@ -141,3 +141,24 @@ def test_running_user_totals_stateful(spark, sf_dir, stream_path):
         .collect()
     }
     assert got == exp
+
+
+def test_enrich_by_segment_stream_matches_batch(spark, sf_dir, stream_path):
+    """Stream-static broadcast enrichment: the per-micro-batch dimension
+    join must produce the same segment rollup as the batch run."""
+    from page_rank_mapreduce_java_spark.streaming.events import enrich_by_segment
+
+    dim = load_table(spark, "customer", sf_dir)
+    stream = enrich_by_segment(read_event_stream(spark, stream_path), dim)
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "enriched")
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n, r.total_cents)
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch = enrich_by_segment(load_table(spark, "events", sf_dir), dim)
+    exp = {
+        (r.c_mktsegment, r.event_type): (r.n, r.total_cents) for r in batch.collect()
+    }
+    assert got == exp
+    assert len(exp) >= 5
