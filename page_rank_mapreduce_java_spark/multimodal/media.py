@@ -182,17 +182,66 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(run, schema)
 
 
+def _bmp_pixels(payload: bytes):
+    """Decode an uncompressed 24bpp BITMAPINFOHEADER BMP into an
+    (h, w, 3) uint8 BGR array (pure numpy — BMP rows are bottom-up unless
+    height is negative, and padded to 4-byte boundaries)."""
+    import numpy as np
+
+    off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER pixel decode not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24bpp BMP (got {bpp}bpp/c{compression})")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return px if top_down else px[::-1]
+
+
+def _encode_bmp(px) -> bytes:
+    """Encode an (h, w, 3) uint8 BGR array as a bottom-up 24bpp BMP."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1].reshape(h, w * 3)
+    pixels = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    off = 14 + 40
+    return struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off) + dib + pixels
+
+
+def _resize_nearest(px, target_w: int, target_h: int):
+    """Nearest-neighbor resample: index-map rows/cols (the PIL-free
+    baseline every image pipeline starts from)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    yi = (np.arange(target_h) * h) // target_h
+    xi = (np.arange(target_w) * w) // target_w
+    return px[yi][:, xi]
+
+
 RESIZED_SCHEMA = (
     "media_id LONG, kind STRING, width INT, height INT, payload BINARY"
 )
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize plumbing: image rows get new dimensions and a re-encoded
-    payload; non-image rows pass through untouched. The pixel resample is
-    STUBBED (synthetic codec only — re-packs the header and keeps the
-    body digest); swapping in PIL's ``Image.resize`` changes only the
-    body bytes. Arrow-batched, partition-parallel, schema-stable."""
+    """Resize image rows to (target_w, target_h); non-image rows pass
+    through untouched. REAL for 24bpp BMP payloads — decode to a numpy
+    BGR array, nearest-neighbor resample, re-encode a valid BMP. The
+    synthetic SYNM codec re-packs its header (its body is a digest, not
+    pixels). Other containers (PNG/JPEG) would slot into the same two
+    helpers once codec libs exist. Arrow-batched, partition-parallel,
+    schema-stable."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -200,9 +249,12 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
                 w, h, sr, dur = _decode_payload(payload)
-                if r["kind"] == "image" and payload[:4] == _MAGIC:
-                    # Pixel resampling for real containers (BMP, ...) needs
-                    # image libs; only the synthetic codec re-encodes here.
+                if r["kind"] == "image" and payload[:2] == b"BM":
+                    payload = _encode_bmp(
+                        _resize_nearest(_bmp_pixels(payload), target_w, target_h)
+                    )
+                    w, h = target_w, target_h
+                elif r["kind"] == "image" and payload[:4] == _MAGIC:
                     w, h = target_w, target_h
                     payload = _MAGIC + struct.pack("<iiiq", w, h, sr, dur) + payload[24:]
                 out.append(
@@ -212,6 +264,79 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def _wav_samples(payload: bytes):
+    """Decode 16-bit PCM WAV samples to an (n, channels) int16 array."""
+    import numpy as np
+
+    pos, n_ch, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and size >= 16:
+            fmt_tag, n_ch, _sr, _brate, _ba, bits = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV samples")
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)
+    if n_ch is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    return arr.reshape(-1, n_ch)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id LONG, window_idx LONG, n_samples LONG, rms LONG, peak LONG, "
+    "zero_crossings LONG"
+)
+
+
+def audio_window_features(df: DataFrame, window_ms: int = 100) -> DataFrame:
+    """Per-window audio features over RIFF/WAV payloads: RMS (floor of
+    the exact integer-sample RMS), absolute peak, and zero-crossing count
+    per fixed window of the first channel. REAL decoding — pure numpy
+    over PCM16 samples; non-WAV rows contribute no windows (the synthetic
+    codec has a digest body, not samples). This is the feature-extraction
+    stage of an audio training pipeline: one output row per window, Arrow
+    batches, partition-parallel, integer-exact outputs."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if payload[:4] != b"RIFF":
+                    continue
+                _w, _h, sr, _dur = _decode_payload(payload)
+                mono = _wav_samples(payload)[:, 0].astype(np.int64)
+                step = max(1, sr * window_ms // 1000)
+                for widx in range(math.ceil(len(mono) / step)):
+                    chunk = mono[widx * step : (widx + 1) * step]
+                    out.append(
+                        {
+                            "media_id": r["media_id"],
+                            "window_idx": widx,
+                            "n_samples": len(chunk),
+                            "rms": int(math.isqrt(int((chunk * chunk).sum()) // len(chunk))),
+                            "peak": int(np.abs(chunk).max()),
+                            "zero_crossings": int(
+                                ((chunk[:-1] >= 0) != (chunk[1:] >= 0)).sum()
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "window_idx", "n_samples", "rms", "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_ms: int = 100) -> DataFrame:

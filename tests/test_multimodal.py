@@ -118,3 +118,57 @@ def test_frame_sample_counts(spark):
     durs = {r.media_id: r.meta.duration_ms for r in media.select("media_id", "meta").collect()}
     for mid, n in counts.items():
         assert n == durs[mid] // 100 + 1
+
+
+def test_real_bmp_resize_nearest_neighbor(spark):
+    """A real 24bpp BMP resizes through mapInPandas: output is a valid
+    BMP with the target dims and nearest-neighbor-selected pixels."""
+    from page_rank_mapreduce_java_spark.multimodal.media import (
+        _bmp_pixels,
+        resize_images,
+    )
+
+    src = _tiny_bmp(4, 2)  # columns have BGR (x*40%256, 80, 160)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(src), (4, 2, None, None))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long>",
+    )
+    row = resize_images(df, 2, 1).collect()[0]
+    assert (row.width, row.height) == (2, 1)
+    out = bytes(row.payload)
+    assert out[:2] == b"BM"
+    px = _bmp_pixels(out)
+    assert px.shape == (1, 2, 3)
+    # nearest-neighbor x-indices for 4→2: cols 0 and 2 → B = 0, 80
+    assert [int(p[0]) for p in px[0]] == [0, 80]
+    assert all(int(p[1]) == 80 and int(p[2]) == 160 for p in px[0])
+
+
+def test_audio_window_features_exact(spark):
+    """Known PCM16 samples → exact per-window RMS/peak/zero-crossings."""
+    import struct as st
+
+    from page_rank_mapreduce_java_spark.multimodal.media import audio_window_features
+
+    sr = 1000  # 100 ms windows → 100 samples per window
+    first = [1000] * 100          # constant: rms=1000, peak=1000, zc=0
+    second = [2000, -2000] * 50   # alternating: rms=2000, zc=99
+    samples = first + second
+    data = b"".join(st.pack("<h", s) for s in samples)
+    fmt = st.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(data)) + data
+    wav = b"RIFF" + st.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame(
+        [(7, "audio", bytearray(wav), (None, None, sr, 200)),
+         (8, "audio", bytearray(b"SYNM" + b"\x00" * 40), (None, None, 8000, 100))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long>",
+    )
+    rows = {r.window_idx: r for r in audio_window_features(df, 100).collect()}
+    assert set(rows) == {0, 1}  # SYNM row contributes no windows
+    assert (rows[0].rms, rows[0].peak, rows[0].zero_crossings) == (1000, 1000, 0)
+    assert (rows[1].rms, rows[1].peak, rows[1].zero_crossings) == (2000, 2000, 99)
+    assert rows[0].n_samples == rows[1].n_samples == 100
