@@ -41,6 +41,14 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_orders",
     "stream_click_attribution",
+    # round 2 additions
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q21_late_suppliers",
+    "graph_triangle_counts",
+    "graph_kcore",
+    "text_tfidf_top_terms",
+    "events_enriched_segments",
 ]
 
 

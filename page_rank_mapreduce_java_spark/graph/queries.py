@@ -215,14 +215,20 @@ d{i} AS MATERIALIZED (SELECT d.id,
     return base + "".join(steps) + f"\nSELECT id, dist FROM d{hops}"
 
 
-# Supplier co-occurrence graph: suppliers linked when they serve the same
-# order. Lines-per-order is bounded (single digits at any SF), so the
-# pair self-join on l_orderkey is O(orders) — and unlike the bipartite
-# customer→supplier graph, this one actually contains triangles.
+# Supplier co-occurrence graph: suppliers linked when they both ship a
+# BULK line (quantity ≥ 40) of the same order. Lines-per-order is bounded
+# (single digits at any SF), so the pair self-join on l_orderkey is
+# O(orders) — and unlike the bipartite customer→supplier graph, this one
+# actually contains triangles. The bulk filter keeps the graph sparse:
+# unfiltered, the supplier-pair space saturates at small SF (~80% of all
+# pairs co-occur at sf0.1, i.e. a near-complete graph), which makes any
+# triangle count quadratic in suppliers regardless of algorithm — a
+# property of the demo graph, not the operator.
 COOC_EDGES_SQL = """
     SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
     FROM lineitem a JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
 """
 
 KCORE_K = 3
@@ -230,7 +236,11 @@ KCORE_ROUNDS = 8
 
 
 def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    l = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_suppkey")
+    )
     a, b = l.alias("a"), l.alias("b")
     return (
         a.join(

@@ -107,3 +107,31 @@ def test_lsh_bucket_range(spark, sf_dir):
     rows = lsh_buckets(e, n_planes=8).collect()
     assert all(0 <= r.bucket < 256 for r in rows)
     assert len({r.bucket for r in rows}) > 16  # buckets actually spread
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """Honesty metric for the approximate path: IVF@n_probe=4/16 must
+    recover a solid majority of the exact cosine top-10 — and more probes
+    must never lose recall. (Exact thresholds are generous floors: the
+    point is catching a broken quantizer/probe join, not tuning recall.)"""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.similarity.ann import brute_force_topk, ivf_topk
+
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(e, queries, k=10).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(e, queries, k=10, n_probe=n_probe, n_centroids=16).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r4 = recall(4)
+    assert r4 >= 0.6, f"IVF recall@n_probe=4 collapsed: {r4:.2f}"
+    r16 = recall(16)  # probing every cell = exhaustive ⇒ exact
+    assert r16 == 1.0, f"full-probe IVF must equal brute force, got {r16:.2f}"
+    assert r16 >= r4
