@@ -89,6 +89,8 @@ _NEW_R2 = (
     "graph_kcore",
     "text_tfidf_top_terms",
     "events_enriched_segments",
+    "text_pii_scrub",
+    "graph_hits",
 )
 
 

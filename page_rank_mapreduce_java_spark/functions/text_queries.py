@@ -151,9 +151,49 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.]+"
+PII_PHONE = r"\+[0-9][0-9-]{7,}"
+PII_DIGITS = r"[0-9]{5,}"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub stage of a training-data
+    pipeline. The corpus is synthetic word-soup with no PII, so the query
+    first embeds deterministic PII tokens (email/phone/id derived from
+    doc_id — both engines build the identical dirty string), then counts
+    and redacts them with sequential regex passes (email → phone → id;
+    RE2-safe patterns, no lookaround). The sha256 of the redacted text
+    proves byte-exact cross-engine redaction, not just matching counts.
+
+    Scale: pure narrow JVM column expressions — regexp_count and three
+    regexp_replace passes per row, no shuffle, no Python."""
+    d = load_table(spark, "documents", sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-0"), (F.col("doc_id") % 10000).cast("string"),
+        F.lit(" ref "), (F.col("doc_id") * 7919 + 100000).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_DIGITS,
+        "<ID>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(dirty, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.sha2(redacted.cast("binary"), 256).alias("redacted_sha"),
+    )
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_pii_scrub": q_text_pii_scrub,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
@@ -169,8 +209,29 @@ _marker_scores = {
 
 from page_rank_mapreduce_java_spark.functions.chunking import chunk_sql as _chunk_sql
 
+_PII_DIRTY = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "+1-555-0' || CAST(doc_id % 10000 AS VARCHAR) || ' ref ' || "
+    "CAST(doc_id * 7919 + 100000 AS VARCHAR)"
+)
+_PII_REDACTED = (
+    f"regexp_replace(regexp_replace(regexp_replace({_PII_DIRTY}, "
+    f"'{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_PHONE}', "
+    "'<PHONE>', 'g'), '[0-9]{5,}', '<ID>', 'g')"
+)
+
 ORACLES = {
     "text_chunks": _chunk_sql(32),
+    "text_pii_scrub": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({_PII_DIRTY}, '{PII_EMAIL}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all({_PII_DIRTY}, '\\+[0-9][0-9-]{{7,}}')) AS BIGINT)
+                 AS n_phones,
+               CAST(length({_PII_REDACTED}) AS BIGINT) AS redacted_len,
+               sha256({_PII_REDACTED}) AS redacted_sha
+        FROM documents
+    """,
     "text_tfidf_top_terms": f"""
         WITH wx AS (
           SELECT doc_id, term

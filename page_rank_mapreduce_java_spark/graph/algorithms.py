@@ -95,6 +95,51 @@ def connected_components(
     return labels
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """HITS (Kleinberg'99) hubs-and-authorities with L1 normalization per
+    half-step: auth(v) = Σ hub(u) over in-edges, hub(u) = Σ auth(v) over
+    out-edges, each vector rescaled to sum 1.
+
+    Returns DataFrame[id long, kind string ('hub'|'auth'), score double] —
+    one hub row per node with out-edges, one auth row per node with
+    in-edges (a node can be both on general graphs).
+
+    Same chassis as pagerank.py: the edge relation shuffles once and is
+    persisted; every half-step moves only a score vector, the L1 scale is
+    a broadcast 1-row aggregate inside the same job, and lineage is cut
+    once per iteration."""
+    ed = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).persist()
+    hubs = ed.select(F.col("src").alias("id")).distinct()
+    hub = cut_lineage(hubs.select("id", F.lit(1.0).alias("h")))
+    auth = None
+    for _ in range(iterations):
+        ar = (
+            hub.join(ed, hub.id == ed.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("s"))
+        )
+        at = ar.agg(F.sum("s").alias("t"))
+        auth = cut_lineage(ar.join(F.broadcast(at)).select("id", (F.col("s") / F.col("t")).alias("a")))
+        hr = (
+            auth.join(ed, auth.id == ed.dst)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("s"))
+        )
+        ht = hr.agg(F.sum("s").alias("t"))
+        hub = cut_lineage(hr.join(F.broadcast(ht)).select("id", (F.col("s") / F.col("t")).alias("h")))
+    out = hub.select("id", F.lit("hub").alias("kind"), F.col("h").alias("score")).unionByName(
+        auth.select("id", F.lit("auth").alias("kind"), F.col("a").alias("score"))
+    )
+    out = cut_lineage(out)
+    ed.unpersist()
+    return out
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,

@@ -265,6 +265,48 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(cooccurrence_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
 
 
+HITS_ITERS = 5
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the bipartite customer→supplier graph
+    (customers are pure hubs, suppliers pure authorities — the two-sided
+    importance ranking PageRank's single score can't express). Scores in
+    integer micro-units like q_pagerank (ADVICE r1: float rendering is a
+    cross-harness drift channel; e8 integers are not)."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import hits
+
+    res = hits(derived_edges(spark, sf_dir), iterations=HITS_ITERS)
+    return res.select(
+        "id", "kind", F.round(F.col("score") * 1e8).cast("long").alias("score_e8")
+    )
+
+
+def _hits_oracle_sql(iters: int = HITS_ITERS) -> str:
+    base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+h0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS h FROM edges)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(
+            f""",
+ar{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.h) AS s
+         FROM h{p} h JOIN edges e ON h.id = e.src GROUP BY 1),
+a{i} AS MATERIALIZED (SELECT id, s / (SELECT SUM(s) FROM ar{i}) AS a FROM ar{i}),
+hr{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS s
+         FROM a{i} a JOIN edges e ON a.id = e.dst GROUP BY 1),
+h{i} AS MATERIALIZED (SELECT id, s / (SELECT SUM(s) FROM hr{i}) AS h FROM hr{i})"""
+        )
+    return (
+        base
+        + "".join(steps)
+        + f"""
+SELECT id, 'hub' AS kind, CAST(ROUND(h * 1e8, 0) AS BIGINT) AS score_e8 FROM h{iters}
+UNION ALL
+SELECT id, 'auth' AS kind, CAST(ROUND(a * 1e8, 0) AS BIGINT) AS score_e8 FROM a{iters}"""
+    )
+
+
 def _pagerank_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
     base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
 nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
@@ -307,6 +349,7 @@ QUERIES = {
     "graph_personalized_pagerank": q_personalized_pagerank,
     "graph_triangle_counts": q_triangle_counts,
     "graph_kcore": q_kcore,
+    "graph_hits": q_hits,
 }
 
 ORACLES = {
@@ -342,3 +385,4 @@ from page_rank_mapreduce_java_spark.graph.motifs import kcore_sql, triangles_sql
 
 ORACLES["graph_triangle_counts"] = triangles_sql(COOC_EDGES_SQL)
 ORACLES["graph_kcore"] = kcore_sql(COOC_EDGES_SQL, k=KCORE_K, rounds=KCORE_ROUNDS)
+ORACLES["graph_hits"] = _hits_oracle_sql()
