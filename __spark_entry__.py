@@ -91,6 +91,9 @@ _NEW_R2 = (
     "events_enriched_segments",
     "text_pii_scrub",
     "graph_hits",
+    "text_shard_assignment",
+    "text_pack_bins",
+    "profile_lineitem",
 )
 
 

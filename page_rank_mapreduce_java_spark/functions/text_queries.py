@@ -190,10 +190,66 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 16
+PACK_TOKENS = 256
+
+
+def q_text_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the step before writing
+    training shards: shard = content-independent hash of doc_id (so
+    re-runs and retries land identically), position = rank of the hash
+    within the shard (a pseudo-random but reproducible order, breaking
+    any source/crawl locality). Shard-partitioned window, no global sort;
+    writing then becomes partitionBy(shard) with per-shard order."""
+    d = load_table(spark, "documents", sf_dir)
+    h = md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def q_text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sequence packing: docs are laid out in the shard's
+    deterministic order and cut into bins by cumulative token count
+    (bin = floor((cumsum − n_tok) / capacity) — start-offset binning, the
+    streaming-friendly approximation of first-fit packing that needs no
+    sequential state). Output: one row per bin with doc count, token sum,
+    and fill ratio in exact per-mille. Window running-sum partitioned by
+    shard; everything integer."""
+    d = load_table(spark, "documents", sf_dir)
+    h = md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    n_tok = F.size(words(F.col("text"))).cast("long")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = d.select(
+        "doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"), n_tok.alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    binned = staged.withColumn(
+        "bin", ((F.col("cum") - F.col("n_tok")) / F.lit(PACK_TOKENS)).cast("long")
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.expr(f"sum(n_tok) * 1000 div {PACK_TOKENS}").alias("fill_permille"),
+    )
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_shard_assignment": q_text_shard_assignment,
+    "text_pack_bins": q_text_pack_bins,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
@@ -220,8 +276,32 @@ _PII_REDACTED = (
     "'<PHONE>', 'g'), '[0-9]{5,}', '<ID>', 'g')"
 )
 
+_SHARD_H = f"{md5_long_sql(chr(39) + 'shard:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
+
 ORACLES = {
     "text_chunks": _chunk_sql(32),
+    "text_shard_assignment": f"""
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+        FROM (SELECT doc_id, {_SHARD_H} AS h, {_SHARD_H} % {N_SHARDS} AS shard
+              FROM documents)
+    """,
+    "text_pack_bins": f"""
+        WITH staged AS (
+          SELECT doc_id, h, h % {N_SHARDS} AS shard,
+                 CAST(len({WORDS_SQL}) AS BIGINT) AS n_tok
+          FROM (SELECT doc_id, text, {_SHARD_H} AS h FROM documents)
+        ), cum AS (
+          SELECT shard, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM staged
+        )
+        SELECT shard, CAST(floor((cum - n_tok) / {PACK_TOKENS}) AS BIGINT) AS bin,
+               COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
+               SUM(n_tok) * 1000 // {PACK_TOKENS} AS fill_permille
+        FROM cum GROUP BY 1, 2
+    """,
     "text_pii_scrub": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all({_PII_DIRTY}, '{PII_EMAIL}')) AS BIGINT)

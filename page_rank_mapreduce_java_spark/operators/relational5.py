@@ -337,8 +337,41 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+)
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiler — the data-quality sweep a pipeline runs before
+    training: per column, row/null/exact-distinct counts. One UNION
+    branch per column rather than one wide multi-countDistinct aggregate:
+    Spark plans N count-distincts over one input as an Expand (N× the
+    scan's rows through the shuffle — the SimHash row-blowup mistake);
+    independent branches each read ONE parquet column (pruned scan) and
+    aggregate it alone, so total input ≈ one full-table columnar scan and
+    every branch is exact. All-integer output, no rendering drift."""
+    l = load_table(spark, "lineitem", sf_dir)
+    parts = [
+        l.select(F.col(c).alias("v")).agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct("v").alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "q4_order_priority": q_q4_order_priority,
+    "profile_lineitem": q_profile_lineitem,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q7_volume_shipping": q_q7_volume_shipping,
     "q8_market_share": q_q8_market_share,
@@ -352,7 +385,15 @@ QUERIES = {
     "q22_dormant_customers": q_q22_dormant_customers,
 }
 
+_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+        SUM(CAST({c} IS NULL AS BIGINT)) AS n_nulls,
+        COUNT(DISTINCT {c}) AS n_distinct FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
 ORACLES = {
+    "profile_lineitem": _PROFILE_SQL,
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders
