@@ -294,16 +294,20 @@ def q_q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("late"),
         )
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # Per-(order, supplier) pre-aggregate FIRST: two countDistincts over
+    # the line rows would plan an Expand (2× line volume through the
+    # shuffle); one groupBy to pair granularity makes the per-order
+    # counts plain aggregates and is reused for the final supplier count.
+    pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("long")).alias("late")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late_supp")
     )
     solo_late_orders = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     return (
-        lo.filter(F.col("late"))
+        pair.filter(F.col("late") == 1)
         .join(solo_late_orders.select("l_orderkey"), "l_orderkey", "semi")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)

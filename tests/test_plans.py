@@ -93,6 +93,17 @@ def test_exists_shapes_plan_semi_and_anti(spark, sf_dir):
     assert "CartesianProduct" not in q22  # 1-row scalar broadcasts
 
 
+def test_q21_no_expand_on_fact_rows(spark, sf_dir):
+    """Multiple count-distincts over one input plan an Expand that
+    multiplies the fact table's rows through the shuffle; q21 must use
+    the pair-granularity pre-aggregate instead."""
+    from page_rank_mapreduce_java_spark.operators import relational5
+
+    df = relational5.q_q21_late_suppliers(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Expand" not in plan
+
+
 def test_q15_groupwise_max_avoids_global_window(spark, sf_dir):
     """The group-wise-max query must use the broadcast-scalar form, not
     an unpartitioned rank window (the classic single-task trap)."""
