@@ -94,6 +94,8 @@ _NEW_R2 = (
     "text_shard_assignment",
     "text_pack_bins",
     "profile_lineitem",
+    "text_repetition",
+    "text_contamination",
 )
 
 

@@ -244,12 +244,76 @@ def q_text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio — the duplicated-n-gram quality
+    signal (Gopher/MassiveText-style): fraction of word 3-grams that are
+    repeats of an earlier 3-gram in the same doc, in exact per-mille.
+    Pure narrow array ops (shingle → distinct → size arithmetic), no
+    shuffle, no floats."""
+    from page_rank_mapreduce_java_spark.functions.textfn import word_ngrams_all
+
+    d = load_table(spark, "documents", sf_dir)
+    staged = d.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id", word_ngrams_all("w").alias("sh")
+    )
+    n = F.size("sh").cast("long")
+    n_dup = (n - F.size(F.array_distinct("sh"))).cast("long")
+    return staged.select(
+        "doc_id",
+        n.alias("n_3grams"),
+        n_dup.alias("n_dup_3grams"),
+        F.when(n > 0, n_dup * 1000 / n).otherwise(F.lit(0)).cast("long").alias("dup_permille"),
+    )
+
+
+CONTAM_PROBE_DOCS = 10
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen: flag documents sharing any word
+    3-gram with a probe set (here: the shingles of the first
+    ``CONTAM_PROBE_DOCS`` docs stand in for a benchmark's test split,
+    self-matches excluded). Per source: docs screened, docs contaminated.
+
+    Scale: probe shingles hash to a compact key set that BROADCASTS (a
+    real benchmark split is tiny next to the corpus); the screen is a
+    broadcast left-semi join at exploded-shingle granularity followed by
+    a doc-level distinct — corpus shuffles only its flagged doc_ids,
+    never its shingles."""
+    from page_rank_mapreduce_java_spark.functions.textfn import word_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    sh = (
+        d.select("doc_id", "source", words(F.col("text")).alias("w"))
+        .select("doc_id", "source", F.explode(word_shingles("w")).alias("s"))
+        .select("doc_id", "source", md5_long(F.col("s")).alias("k"))
+    )
+    probes = sh.filter(F.col("doc_id") < CONTAM_PROBE_DOCS).select("k").distinct()
+    flagged = (
+        sh.filter(F.col("doc_id") >= CONTAM_PROBE_DOCS)
+        .join(F.broadcast(probes), "k", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+    base = d.filter(F.col("doc_id") >= CONTAM_PROBE_DOCS)
+    return (
+        base.join(flagged.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_pii_scrub": q_text_pii_scrub,
     "text_shard_assignment": q_text_shard_assignment,
     "text_pack_bins": q_text_pack_bins,
+    "text_repetition": q_text_repetition,
+    "text_contamination": q_text_contamination,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
@@ -278,7 +342,38 @@ _PII_REDACTED = (
 
 _SHARD_H = f"{md5_long_sql(chr(39) + 'shard:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')}"
 
+from page_rank_mapreduce_java_spark.functions.textfn import shingles_sql as _shingles_sql  # noqa: E402
+
+_SH3 = _shingles_sql(WORDS_SQL)
+from page_rank_mapreduce_java_spark.functions.textfn import ngrams_all_sql as _ngrams_all_sql  # noqa: E402
+_NG3 = _ngrams_all_sql(WORDS_SQL)
+
 ORACLES = {
+    "text_repetition": f"""
+        SELECT doc_id,
+               CAST(len(sh) AS BIGINT) AS n_3grams,
+               CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS n_dup_3grams,
+               CAST(CASE WHEN len(sh) > 0
+                    THEN (len(sh) - len(list_distinct(sh))) * 1000 // len(sh)
+                    ELSE 0 END AS BIGINT) AS dup_permille
+        FROM (SELECT doc_id, {_NG3} AS sh FROM documents)
+    """,
+    "text_contamination": f"""
+        WITH sh AS (
+          SELECT doc_id, source, {md5_long_sql('s')} AS k
+          FROM (SELECT doc_id, source, unnest({_SH3}) AS s FROM documents)
+        ),
+        probes AS (SELECT DISTINCT k FROM sh WHERE doc_id < {CONTAM_PROBE_DOCS}),
+        flagged AS (
+          SELECT DISTINCT doc_id FROM sh
+          WHERE doc_id >= {CONTAM_PROBE_DOCS} AND k IN (SELECT k FROM probes)
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+        FROM documents d LEFT JOIN flagged f USING (doc_id)
+        WHERE d.doc_id >= {CONTAM_PROBE_DOCS}
+        GROUP BY 1
+    """,
     "text_chunks": _chunk_sql(32),
     "text_shard_assignment": f"""
         SELECT doc_id, shard,

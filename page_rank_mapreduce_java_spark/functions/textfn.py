@@ -42,6 +42,29 @@ def word_shingles(words_col: str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams_all(words_col: str, n: int = 3) -> Column:
+    """ALL word n-grams in order (repeats kept) — the repetition-metric
+    unit, vs ``word_shingles``' distinct set. Short docs yield one
+    whole-list gram (empty docs: none)."""
+    return F.expr(
+        f"CASE WHEN size({words_col}) = 0 THEN array() "
+        f"WHEN size({words_col}) < {n} THEN array(concat_ws(' ', {words_col})) "
+        f"ELSE transform(sequence(0, size({words_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({words_col}, i + 1, {n}))) END"
+    )
+
+
+def ngrams_all_sql(words_expr: str, n: int = 3) -> str:
+    """DuckDB rendering of ``word_ngrams_all``."""
+    joined = " || ' ' || ".join(f"{words_expr}[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({words_expr}) = 0 THEN [] "
+        f"WHEN len({words_expr}) < {n} THEN [array_to_string({words_expr}, ' ')] "
+        f"ELSE list_transform(range(1, len({words_expr}) - {n - 2}), "
+        f"i -> {joined}) END"
+    )
+
+
 def shingles_sql(words_expr: str, n: int = 3) -> str:
     """DuckDB rendering of ``word_shingles``: 1-based list slicing, || joins."""
     joined = " || ' ' || ".join(f"{words_expr}[i + {k}]" for k in range(n))
