@@ -96,6 +96,7 @@ _NEW_R2 = (
     "profile_lineitem",
     "text_repetition",
     "text_contamination",
+    "graph_pagerank_weighted",
 )
 
 

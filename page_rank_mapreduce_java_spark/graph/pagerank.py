@@ -64,6 +64,7 @@ def pagerank(
     record_dangling: bool = False,
     personalize: DataFrame | None = None,
     reliable_checkpoint_every: int = 0,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Damped PageRank with dangling-mass redistribution over an edge list.
 
@@ -71,6 +72,12 @@ def pagerank(
     edges are kept (duplicates weight the contribution, matching the
     multigraph reading of an edge list); pass ``edges.distinct()`` for
     simple-graph semantics.
+
+    ``weight_col``: optional edge-weight column — each node scatters
+    ``rank·w/Σw_out`` instead of ``rank/out_degree`` (weighted PageRank).
+    Unweighted runs use a constant 1.0 weight through the same code path:
+    for integral degrees the arithmetic (÷count vs ·1.0÷Σ1.0) is
+    IEEE-identical, so existing unweighted results are bit-stable.
 
     One Spark job per iteration: the dangling 1-row aggregate rides the
     plan as a broadcast, and the eager localCheckpoint executes it.
@@ -103,7 +110,10 @@ def pagerank(
     # The edge input may itself be an expensive plan (e.g. a join); it is
     # read twice during setup (degree aggregation + probe side), so cache
     # it for the setup phase only. MEMORY_AND_DISK: spills, never OOMs.
-    edges = edges.persist()
+    w = (
+        F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
+    )
+    edges = edges.select("src", "dst", w.alias("w")).persist()
 
     if partitions is None:
         # Size the iteration-state partitioning to the data: ~75k edge rows
@@ -119,10 +129,10 @@ def pagerank(
     # on the join key once and reused by every iteration's join. Everything
     # else (nodes, dangling set) derives from the persisted links so an
     # expensive upstream edge computation runs exactly once.
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
     links = (
         edges.join(out_deg, "src")
-        .select(F.col("src").alias("id"), "dst", "deg")
+        .select(F.col("src").alias("id"), "dst", "w", "deg")
         .repartition(partitions, "id")
         .persist()
     )
@@ -183,7 +193,10 @@ def pagerank(
 
         contribs = (
             ranks.join(links, "id")
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
+            )
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )

