@@ -129,3 +129,50 @@ def test_orc_and_json_roundtrip(spark):
         assert sorted(
             map(tuple, back.collect()), key=str
         ) == sorted(map(tuple, df.collect()), key=str)
+
+
+def test_schema_evolution_append_and_merged_read(spark):
+    from page_rank_mapreduce_java_spark.sources.maintenance import (
+        append_parquet,
+        read_parquet_evolving,
+    )
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5), (4, "d", -1.0)], "id long, tag string, score double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        v1.write.parquet(path)
+        append_parquet(v2, path)
+        back = read_parquet_evolving(spark, path)
+        assert set(back.columns) == {"id", "tag", "score"}
+        rows = {r.id: (r.tag, r.score) for r in back.collect()}
+        # pre-evolution files surface NULL for the new column
+        assert rows[1] == ("a", None) and rows[3] == ("c", 9.5)
+
+
+def test_compact_parquet_reduces_files_and_preserves_data(spark):
+    from page_rank_mapreduce_java_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("x")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/frag"
+        df.repartition(64).write.parquet(path)  # deliberately fragmented
+        before = parquet_file_stats(spark, path)
+        assert before.num_files == 64
+        assert before.small_ratio == 1.0  # every file is tiny
+
+        after = compact_parquet(spark, path, target_partition_bytes=1 << 30)
+        assert after.num_files == 1
+        assert after.total_bytes > 0
+        # same rows, no temp/old dirs left behind
+        back = spark.read.parquet(path)
+        assert back.count() == 10_000
+        assert sorted(r.id for r in back.select("id").collect()) == list(range(10_000))
+        assert glob.glob(f"{d}/*_compact_*") == []
