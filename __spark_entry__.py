@@ -97,6 +97,9 @@ _NEW_R2 = (
     "text_repetition",
     "text_contamination",
     "graph_pagerank_weighted",
+    "text_curation_funnel",
+    "text_domain_mixture",
+    "text_train_split",
 )
 
 

@@ -306,8 +306,109 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Curation-funnel thresholds — chosen inside the corpus's observed ranges
+# (tokens 10-99, alpha 794-854 permille, dup 0-71 permille at sf0.01) so
+# every stage actually discriminates; integer cross-multiplication
+# throughout, no ratio floats.
+FUNNEL_MIN_TOK = 30
+FUNNEL_ALPHA_PERMILLE = 810
+FUNNEL_MAX_DUP_PERMILLE = 20
+
+
+def q_text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source filter-attrition report — the curation funnel every
+    training-data pipeline publishes: how many documents survive each
+    quality gate applied in sequence (length → alpha ratio → repetition).
+    Cumulative pass counts, so pass_all is the final corpus size and
+    stage deltas localize WHERE a source loses its documents.
+
+    Scale: one narrow pass computes all three boolean flags per row, then
+    a single source-keyed groupBy with map-side partial aggregation —
+    adding a gate adds a column, never a pass over the corpus."""
+    from page_rank_mapreduce_java_spark.functions.textfn import word_ngrams_all
+
+    d = load_table(spark, "documents", sf_dir)
+    staged = d.select(
+        "source",
+        F.size(words(F.col("text"))).cast("long").alias("n_tok"),
+        F.length(F.regexp_replace(F.lower("text"), r"[^a-z]", "")).cast("long").alias("n_alpha"),
+        F.length("text").cast("long").alias("n_chars"),
+        words(F.col("text")).alias("w"),
+    ).select("source", "n_tok", "n_alpha", "n_chars", word_ngrams_all("w").alias("sh"))
+    n3 = F.size("sh").cast("long")
+    dup = (n3 - F.size(F.array_distinct("sh"))).cast("long")
+    len_ok = F.col("n_tok") >= FUNNEL_MIN_TOK
+    alpha_ok = F.col("n_alpha") * 1000 >= F.col("n_chars") * FUNNEL_ALPHA_PERMILLE
+    rep_ok = dup * 1000 <= n3 * FUNNEL_MAX_DUP_PERMILLE
+    flags = staged.select(
+        "source",
+        len_ok.alias("f1"),
+        (len_ok & alpha_ok).alias("f2"),
+        (len_ok & alpha_ok & rep_ok).alias("f3"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("f1").cast("long")).alias("pass_length"),
+        F.sum(F.col("f2").cast("long")).alias("pass_alpha"),
+        F.sum(F.col("f3").cast("long")).alias("pass_all"),
+    )
+
+
+def q_text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling weights: per source, its token share and
+    the weight that reweights it to a uniform token mixture
+    (weight = target_share / actual_share, in exact per-mille). The
+    upsampling table a pretraining data loader consumes.
+
+    Scale: corpus pass is one source-keyed aggregation; the totals row is
+    a 1-row broadcast cross join — same shape at any corpus size."""
+    d = load_table(spark, "documents", sf_dir)
+    per = (
+        d.select("source", F.size(words(F.col("text"))).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("src_tokens"))
+    )
+    tot = per.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.expr("src_tokens * 1000 div total_tokens").alias("tok_share_permille"),
+        F.expr("total_tokens * 1000 div (n_sources * src_tokens)").alias("weight_permille"),
+    )
+
+
+SPLIT_TRAIN_CUT = 900  # buckets [0,900) of 1000 → train
+SPLIT_VAL_CUT = 950    # [900,950) → val, [950,1000) → test
+
+
+def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, content-keyed train/val/test split: the bucket is a
+    portable hash of sha256(text) — NOT of doc_id — so byte-identical
+    documents land in the same split no matter their id or arrival order,
+    and the assignment is stable under re-runs, retries, and corpus
+    growth (old docs never migrate when new ones arrive). This is the
+    leakage-safe split rule for near-dup-bearing corpora: pair it with
+    dedup first, then any residual exact dups still can't straddle train
+    and test. Narrow map, no shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = md5_long(F.sha2(F.col("text").cast("binary"), 256)) % 1000
+    split = (
+        F.when(bucket < SPLIT_TRAIN_CUT, "train")
+        .when(bucket < SPLIT_VAL_CUT, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
+    "text_curation_funnel": q_text_curation_funnel,
+    "text_domain_mixture": q_text_domain_mixture,
+    "text_train_split": q_text_train_split,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_pii_scrub": q_text_pii_scrub,
     "text_shard_assignment": q_text_shard_assignment,
@@ -349,6 +450,55 @@ from page_rank_mapreduce_java_spark.functions.textfn import ngrams_all_sql as _n
 _NG3 = _ngrams_all_sql(WORDS_SQL)
 
 ORACLES = {
+    "text_curation_funnel": f"""
+        WITH t AS (
+          SELECT source,
+                 CAST(len({WORDS_SQL}) AS BIGINT) AS n_tok,
+                 CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 {_NG3} AS sh
+          FROM documents
+        ), f AS (
+          SELECT source,
+                 (n_tok >= {FUNNEL_MIN_TOK}) AS f1,
+                 (n_tok >= {FUNNEL_MIN_TOK}
+                  AND n_alpha * 1000 >= n_chars * {FUNNEL_ALPHA_PERMILLE}) AS f2,
+                 (n_tok >= {FUNNEL_MIN_TOK}
+                  AND n_alpha * 1000 >= n_chars * {FUNNEL_ALPHA_PERMILLE}
+                  AND (len(sh) - len(list_distinct(sh))) * 1000
+                      <= len(sh) * {FUNNEL_MAX_DUP_PERMILLE}) AS f3
+          FROM t
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_length,
+               CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+               CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        FROM f GROUP BY 1
+    """,
+    "text_domain_mixture": f"""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len({WORDS_SQL})) AS BIGINT) AS src_tokens
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+                 COUNT(*) AS n_sources
+          FROM per
+        )
+        SELECT source, n_docs, src_tokens,
+               CAST(src_tokens * 1000 // total_tokens AS BIGINT) AS tok_share_permille,
+               CAST(total_tokens * 1000 // (n_sources * src_tokens) AS BIGINT)
+                 AS weight_permille
+        FROM per CROSS JOIN tot
+    """,
+    "text_train_split": f"""
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < {SPLIT_TRAIN_CUT} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_CUT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, {md5_long_sql('sha256(text)')} % 1000 AS bucket
+              FROM documents)
+    """,
     "text_repetition": f"""
         SELECT doc_id,
                CAST(len(sh) AS BIGINT) AS n_3grams,
