@@ -100,6 +100,13 @@ _NEW_R2 = (
     "text_curation_funnel",
     "text_domain_mixture",
     "text_train_split",
+    # TPC-H shapes 2/11/12/19/20 (lineitem-derived partsupp substitutes),
+    # completing all 22 classics.
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q19_disjunctive_revenue",
+    "q20_surplus_suppliers",
 )
 
 

@@ -7,9 +7,12 @@ fixture is a slim TPC-H (TESTDATA.md): no ``partsupp`` table and no
 ``c_phone``/``p_container`` columns, so queries that need them are
 *adapted* — the join/subquery/aggregation SHAPE of each original is
 preserved (that shape is what exercises the optimizer), with predicates
-re-targeted at columns the fixture has. q2/q11/q20 are partsupp-pivoted
-(supplycost/availqty have no substitute) and are intentionally out of
-scope; every other classic shape is below.
+re-targeted at columns the fixture has. For the partsupp-pivoted trio
+the supplier⇄part relation comes from lineitem (as q16 already does):
+q2's supplycost becomes the pair's minimum observed unit price, q11's
+availqty·supplycost becomes the pair's shipped value, q20's availqty
+becomes the pair's all-time shipped quantity. With those substitutions
+all 22 classic shapes are covered.
 
 The reference (a 417-LoC Hadoop PageRank — SURVEY.md §0) has none of
 this surface; the suite exists because the brief's north star is a
@@ -47,6 +50,188 @@ _REV_SQL = f"{_c('l_extendedprice')} * (100 - {_c('l_discount')})"
 def _revenue_cp() -> F.Column:
     """Exact integer revenue in cent-percent units (see relational4.py)."""
     return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: for each target part, the EUROPE supplier(s)
+    offering it at minimum cost — the correlated MIN subquery of the
+    original, decorrelated into a per-part minimum re-joined with tie
+    preservation (same device as q15, per-group instead of global).
+    Cost = min observed unit price (exact integer division of cents by
+    integral quantity; both engines use integral div, no float quotient).
+    Dims (supplier⋈nation⋈region, target parts) broadcast; the one
+    fact-sized shuffle is the (part, supplier) aggregation. Top 100
+    fully tie-broken like the original."""
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target = (
+        load_table(spark, "part", sf_dir)
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    uc = F.expr(f"{_c('l_extendedprice')} div CAST(l_quantity AS BIGINT)")
+    cost = (
+        l.select("l_partkey", "l_suppkey", uc.alias("uc"))
+        .join(F.broadcast(eur.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").alias("unit_cost_cents"))
+        .join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    min_cost = cost.groupBy("p_partkey").agg(F.min("unit_cost_cents").alias("mc"))
+    return (
+        cost.join(min_cost, "p_partkey")
+        .filter(F.col("unit_cost_cents") == F.col("mc"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            _cents("s_acctbal").alias("s_acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "unit_cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal_cents"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+IMPORTANT_NATION = "NATION_3"
+IMPORTANT_PERMILLE = 1  # parts worth > 0.1% of the nation's shipped value
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: the parts representing a significant fraction of
+    one nation's shipped value — group-sum HAVING > fraction × the SAME
+    sum unfiltered (the original's scalar subquery over an identical
+    FROM clause). The global total rides as a broadcast 1-row aggregate
+    computed FROM the grouped result (one pass over the fact); the
+    threshold compares integer·1000 > integer — no float fraction."""
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == IMPORTANT_NATION)
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    value = (
+        l.join(F.broadcast(nat_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_cents"))
+    )
+    total = value.agg(F.sum("value_cents").alias("t"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("t") * IMPORTANT_PERMILLE)
+        .select("l_partkey", "value_cents")
+    )
+
+
+def q_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape: per line-class, how many critical- vs
+    normal-priority orders it carried — the two conditional counts in one
+    aggregate. The fixture has no l_shipmode, so the class is the
+    ship-delay bucket (≤60 days = fast, else slow), which preserves the
+    original's point: a CASE-driven double count over a year of the
+    lineitem⋈orders join, year predicate pushed to the line scan."""
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), "slow"
+            ).otherwise("fast").alias("ship_bucket"),
+            high.cast("long").alias("is_high"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(F.lit(1) - F.col("is_high")).alias("low_line_count"),
+        )
+    )
+
+
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: revenue from three OR-ed conjunctive predicate
+    groups, each spanning BOTH sides of the lineitem⋈part join (brand and
+    size from part, quantity from the line). The per-side halves of each
+    conjunct push into their scans; the residual OR evaluates post-join.
+    One broadcast join, one 1-row aggregate — the query exists to prove
+    disjunctive pushdown, not join strategy."""
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    g1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(g1 | g2 | g3)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_revenue_cp()).alias("revenue_cp"),
+        )
+    )
+
+
+SURPLUS_NATION = "NATION_1"
+
+
+def q_q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: suppliers of one nation holding a surplus of
+    name-matched parts — the doubly-nested IN of the original. availqty
+    becomes the (part, supplier) all-time shipped quantity; the threshold
+    (half the part's 1997 shipped quantity) keeps the original's
+    half-of-one-year form. Both inner aggregates are widget-part-sized
+    (the name filter semi-joins BEFORE any aggregation); quantities are
+    integral, compared as qty·2 > qty97 — all integer."""
+    l = load_table(spark, "lineitem", sf_dir)
+    wparts = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    lw = l.join(F.broadcast(wparts), l.l_partkey == F.col("p_partkey"), "semi")
+    q97 = (
+        lw.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty97"))
+    )
+    ps = lw.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    surplus_supp = (
+        ps.join(q97, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("qty97"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_name") == SURPLUS_NATION)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(surplus_supp, s.s_suppkey == F.col("l_suppkey"), "semi")
+        .select("s_suppkey", "s_name")
+    )
 
 
 def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +559,11 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q11_important_parts": q_q11_important_parts,
+    "q12_shipmode_priority": q_q12_shipmode_priority,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+    "q20_surplus_suppliers": q_q20_surplus_suppliers,
     "q4_order_priority": q_q4_order_priority,
     "profile_lineitem": q_profile_lineitem,
     "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -398,6 +588,88 @@ _PROFILE_SQL = " UNION ALL ".join(
 
 ORACLES = {
     "profile_lineitem": _PROFILE_SQL,
+    "q2_min_cost_supplier": f"""
+        WITH eur AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), cost AS (
+          SELECT l_partkey AS p_partkey, l_suppkey,
+                 MIN({_c('l_extendedprice')} // CAST(l_quantity AS BIGINT))
+                   AS unit_cost_cents
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_type = 'LARGE' AND p_size <= 15)
+          GROUP BY 1, 2
+        )
+        SELECT {_c('s_acctbal')} AS s_acctbal_cents, s_name, n_name,
+               p_partkey, unit_cost_cents
+        FROM cost JOIN eur ON l_suppkey = s_suppkey
+        WHERE unit_cost_cents = (SELECT MIN(c2.unit_cost_cents) FROM cost c2
+                                 WHERE c2.p_partkey = cost.p_partkey)
+        ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q11_important_parts": f"""
+        WITH v AS (
+          SELECT l_partkey, SUM({_c('l_extendedprice')}) AS value_cents
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = '{IMPORTANT_NATION}'
+          )
+          GROUP BY 1
+        )
+        SELECT l_partkey, value_cents FROM v
+        WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v) * {IMPORTANT_PERMILLE}
+    """,
+    "q12_shipmode_priority": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 'slow' ELSE 'fast' END AS ship_bucket,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q19_disjunctive_revenue": f"""
+        SELECT COUNT(*) AS n_lines, SUM({_REV_SQL}) AS revenue_cp
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q20_surplus_suppliers": f"""
+        WITH wparts AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+        q97 AS (
+          SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS qty97
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_partkey IN (SELECT p_partkey FROM wparts)
+          GROUP BY 1
+        ), ps AS (
+          SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM wparts)
+          GROUP BY 1, 2
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = '{SURPLUS_NATION}'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM ps JOIN q97 USING (l_partkey)
+            WHERE ps.qty * 2 > qty97
+          )
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders
