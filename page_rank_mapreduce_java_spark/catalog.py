@@ -76,6 +76,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # Integer division: epoch-ns (~1.7e18) exceeds double's 53-bit
             # exact range, so `/ 1000` would corrupt ~12% of values by 1 µs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # Spark 4.1 reads parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ
+            # (µs-truncated — lossless here, values are µs-resolution),
+            # bypassing nanosAsLong. Cast to the session-TZ timestamp (UTC)
+            # so ts keeps the same LTZ type contract every downstream query
+            # was written against (unix_micros etc. reject NTZ).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -168,9 +168,15 @@ SIMHASH_SQL = f"""
                      SUM(((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1) AS v
               FROM bits GROUP BY doc_id, j)
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
 """
+# The outer CAST matters: DuckDB SUM(BIGINT) yields HUGEINT, which the
+# driver's pandas fetch renders as float64 and hash-mismatches against
+# Spark's int64 even when every value is identical (the r2 dedup_simhash
+# driver FAIL while dedup_simhash_pairs — whose outputs avoid HUGEINT —
+# passed). tools/canon_audit.py flags these mechanically.
 
 
 SIMHASH_HAMMING_MAX = 3
@@ -253,10 +259,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.lang").alias("lang"), F.col("a.bucket").alias("bucket"), jac.alias("jac"))
     )
+    # All-integer output (counts + ppm longs): raw doubles and HUGEINT
+    # sums render differently under the driver's pandas oracle fetch.
+    ppm = F.round(F.col("jac") * 1e6).cast("long")
     return pairs.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.max(F.round(F.col("jac"), 6)).alias("max_jaccard"),
-        F.sum(F.round(F.col("jac") * 1e6).cast("long")).alias("jaccard_ppm"),
+        F.max(ppm).alias("max_jac_ppm"),
+        F.sum(ppm).alias("jaccard_ppm"),
     )
 
 
@@ -277,8 +286,8 @@ NGRAM_JACCARD_SQL = f"""
                       ELSE CAST(0.0 AS DOUBLE) END AS jac
           FROM pairs)
     SELECT lang, bucket, COUNT(*) AS n_pairs,
-           MAX(ROUND(jac, 6)) AS max_jaccard,
-           SUM(CAST(ROUND(jac * 1e6, 0) AS BIGINT)) AS jaccard_ppm
+           MAX(CAST(ROUND(jac * 1e6, 0) AS BIGINT)) AS max_jac_ppm,
+           CAST(SUM(CAST(ROUND(jac * 1e6, 0) AS BIGINT)) AS BIGINT) AS jaccard_ppm
     FROM j GROUP BY lang, bucket
 """
 
@@ -296,18 +305,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(F.col("a.label").alias("label"), cos.alias("cos"))
+    # All-integer output: n_near_dup's SUM must not surface as DuckDB
+    # HUGEINT and max cosine goes out as ppm (round(cos*1e6) long) so the
+    # driver's pandas oracle fetch renders both engines identically.
     return pairs.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum((F.col("cos") >= 0.8).cast("long")).alias("n_near_dup"),
-        F.max(F.round(F.col("cos"), 6)).alias("max_cos"),
+        F.max(F.round(F.col("cos") * 1e6).cast("long")).alias("max_cos_ppm"),
     )
 
 
 EMB_COSINE_SQL = f"""
     SELECT a.label AS label, COUNT(*) AS n_pairs,
-           SUM(CASE WHEN {cosine_sql('a.embedding', 'b.embedding')} >= 0.8
-                    THEN 1 ELSE 0 END) AS n_near_dup,
-           MAX(ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6)) AS max_cos
+           CAST(SUM(CASE WHEN {cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           MAX(CAST(ROUND({cosine_sql('a.embedding', 'b.embedding')} * 1e6, 0)
+                    AS BIGINT)) AS max_cos_ppm
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     GROUP BY a.label

@@ -519,7 +519,8 @@ ORACLES = {
           WHERE doc_id >= {CONTAM_PROBE_DOCS} AND k IN (SELECT k FROM probes)
         )
         SELECT source, COUNT(*) AS n_docs,
-               SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+               CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
         FROM documents d LEFT JOIN flagged f USING (doc_id)
         WHERE d.doc_id >= {CONTAM_PROBE_DOCS}
         GROUP BY 1
@@ -543,8 +544,8 @@ ORACLES = {
           FROM staged
         )
         SELECT shard, CAST(floor((cum - n_tok) / {PACK_TOKENS}) AS BIGINT) AS bin,
-               COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
-               SUM(n_tok) * 1000 // {PACK_TOKENS} AS fill_permille
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+               CAST(SUM(n_tok) * 1000 // {PACK_TOKENS} AS BIGINT) AS fill_permille
         FROM cum GROUP BY 1, 2
     """,
     "text_pii_scrub": f"""

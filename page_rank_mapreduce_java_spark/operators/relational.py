@@ -520,7 +520,10 @@ ORACLES = {
     # Interval arithmetic, not epoch_us(): on DuckDB versions that surface
     # the parquet column as TIMESTAMP_NS, epoch-extraction semantics have
     # shifted across releases, while timestamp subtraction yields an
-    # INTERVAL in every version (the r1 driver-vs-local hash divergence).
+    # INTERVAL in every version. CAST(SUM(...) AS BIGINT): DuckDB's SUM
+    # over integers returns HUGEINT, which the driver's pandas fetch path
+    # renders as float64 ("7.0" vs Spark's "7") — the r1/r2 driver-vs-local
+    # hash divergence (tools/canon_audit.py finds these mechanically).
     "window_sessionize": """
         WITH flagged AS (
           SELECT user_id,
@@ -529,7 +532,8 @@ ORACLES = {
                       > INTERVAL '30' MINUTE
                       THEN 1 ELSE 0 END AS new_sess
           FROM events)
-        SELECT user_id, SUM(new_sess) + 1 AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
         FROM flagged GROUP BY user_id
     """,
     "window_dense_rank_suppliers": """
@@ -569,12 +573,13 @@ ORACLES = {
     """,
     # regexp extraction, not ->>: the JSON operator family needs the json
     # extension and its path semantics ('$.k' vs 'k') moved across DuckDB
-    # releases (the r1 driver-vs-local hash divergence); a regexp over the
-    # {"k": <int>} payload works identically in every version. Missing
-    # keys extract '' -> TRY_CAST NULL, matching get_json_object's NULL.
+    # releases; a regexp over the {"k": <int>} payload works identically in
+    # every version. Missing keys extract '' -> TRY_CAST NULL, matching
+    # get_json_object's NULL. The outer CAST(SUM(..) AS BIGINT) avoids the
+    # HUGEINT->float64 driver-fetch rendering (see window_sessionize note).
     "json_funcs": r"""
         SELECT event_type,
-               SUM(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS sum_k,
+               CAST(SUM(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT)) AS max_k,
                COUNT(*) AS n
         FROM events GROUP BY event_type

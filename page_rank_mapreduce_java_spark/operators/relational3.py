@@ -125,12 +125,22 @@ def q_agg_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand feeds partial aggregates so each grouping level combines
     map-side."""
     o = load_table(spark, "orders", sf_dir)
-    return o.rollup(
+    rolled = o.rollup(
         F.year("o_orderdate").cast("long").alias("yr"),
         F.month("o_orderdate").cast("long").alias("mo"),
     ).agg(
         F.sum(_cents("o_totalprice")).alias("total_cents"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    # Sentinel -1 for rolled-up grouping levels: a NULL in an integer
+    # output column flips the whole column to float64 under the driver's
+    # pandas fetch, corrupting every value's rendering (agg_rollup passed
+    # r1 with the same sentinel policy; this query failed r2 without it).
+    return rolled.select(
+        F.coalesce("yr", F.lit(-1)).alias("yr"),
+        F.coalesce("mo", F.lit(-1)).alias("mo"),
+        "total_cents",
+        "n_orders",
     )
 
 
@@ -218,13 +228,18 @@ ORACLES = {
         FROM spine CROSS JOIN t
         LEFT JOIN daily ON daily.d = spine.d AND daily.event_type = t.event_type
     """,
+    # COALESCE sentinels + CAST(SUM AS BIGINT): NULL grouping keys and
+    # HUGEINT sums both break the driver's pandas-fetch rendering
+    # (tools/canon_audit.py).
     "agg_date_rollup": f"""
-        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-               CAST(month(o_orderdate) AS BIGINT) AS mo,
-               SUM({_c('o_totalprice')}) AS total_cents,
+        SELECT COALESCE(yr, -1) AS yr, COALESCE(mo, -1) AS mo,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
                COUNT(*) AS n_orders
-        FROM orders
-        GROUP BY ROLLUP (1, 2)
+        FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                     CAST(month(o_orderdate) AS BIGINT) AS mo,
+                     {_c('o_totalprice')} AS cents
+              FROM orders)
+        GROUP BY ROLLUP (yr, mo)
     """,
     "events_sliding_2h": """
         WITH x AS (
@@ -237,7 +252,7 @@ ORACLES = {
         FROM x GROUP BY 1, 2
     """,
     "agg_salted_sum": f"""
-        SELECT event_type, SUM({_c('value')}) AS value_cents
+        SELECT event_type, CAST(SUM({_c('value')}) AS BIGINT) AS value_cents
         FROM events GROUP BY event_type
     """,
 }

@@ -581,7 +581,7 @@ QUERIES = {
 
 _PROFILE_SQL = " UNION ALL ".join(
     f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
-        SUM(CAST({c} IS NULL AS BIGINT)) AS n_nulls,
+        CAST(SUM(CAST({c} IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
         COUNT(DISTINCT {c}) AS n_distinct FROM lineitem"""
     for c in _PROFILE_COLS
 )
@@ -622,23 +622,23 @@ ORACLES = {
           )
           GROUP BY 1
         )
-        SELECT l_partkey, value_cents FROM v
+        SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents FROM v
         WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v) * {IMPORTANT_PERMILLE}
     """,
     "q12_shipmode_priority": """
         SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                     THEN 'slow' ELSE 'fast' END AS ship_bucket,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY 1
     """,
     "q19_disjunctive_revenue": f"""
-        SELECT COUNT(*) AS n_lines, SUM({_REV_SQL}) AS revenue_cp
+        SELECT COUNT(*) AS n_lines, CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cp
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
                AND l_quantity BETWEEN 1 AND 11)
@@ -683,7 +683,7 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
     "q6_forecast_revenue": f"""
-        SELECT SUM({_c('l_extendedprice')} * {_c('l_discount')}) AS revenue_cp
+        SELECT CAST(SUM({_c('l_extendedprice')} * {_c('l_discount')}) AS BIGINT) AS revenue_cp
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -693,7 +693,7 @@ ORACLES = {
     "q7_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(year FROM l_shipdate) AS ship_year,
-               SUM({_REV_SQL}) AS revenue_cp
+               CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_cp
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -709,8 +709,8 @@ ORACLES = {
     """,
     "q8_market_share": f"""
         SELECT EXTRACT(year FROM o_orderdate) AS order_year,
-               SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) AS promo_rev_cp,
-               SUM({_REV_SQL}) AS total_rev_cp
+               CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) AS BIGINT) AS promo_rev_cp,
+               CAST(SUM({_REV_SQL}) AS BIGINT) AS total_rev_cp
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -724,7 +724,7 @@ ORACLES = {
     """,
     "q9_product_profit": f"""
         SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS order_year,
-               SUM({_REV_SQL}) AS profit_cp
+               CAST(SUM({_REV_SQL}) AS BIGINT) AS profit_cp
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN orders ON l_orderkey = o_orderkey
@@ -743,8 +743,8 @@ ORACLES = {
         ) GROUP BY c_count
     """,
     "q14_promo_effect": f"""
-        SELECT SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) AS promo_rev_cp,
-               SUM({_REV_SQL}) AS total_rev_cp
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) AS BIGINT) AS promo_rev_cp,
+               CAST(SUM({_REV_SQL}) AS BIGINT) AS total_rev_cp
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
           AND l_shipdate < TIMESTAMP '1997-10-01'
@@ -757,7 +757,7 @@ ORACLES = {
             AND l_shipdate < TIMESTAMP '1997-04-01'
           GROUP BY l_suppkey
         )
-        SELECT l_suppkey AS s_suppkey, s_name, total_rev_cp
+        SELECT l_suppkey AS s_suppkey, s_name, CAST(total_rev_cp AS BIGINT) AS total_rev_cp
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_rev_cp = (SELECT MAX(total_rev_cp) FROM rev)
     """,
@@ -779,7 +779,7 @@ ORACLES = {
                  COUNT(*) AS n_lines
           FROM lp GROUP BY 1
         )
-        SELECT SUM({_c('l_extendedprice')}) AS small_rev_cents,
+        SELECT CAST(SUM({_c('l_extendedprice')}) AS BIGINT) AS small_rev_cents,
                COUNT(*) AS n_small_lines
         FROM lp JOIN avg_qty ON l_partkey = ap
         WHERE l_quantity * 2 * n_lines < sum_qty
@@ -815,7 +815,7 @@ ORACLES = {
         )
         SELECT c_nationkey % 5 AS cntrycode,
                COUNT(*) AS numcust,
-               SUM({_c('c_acctbal')}) AS totacctbal_cents
+               CAST(SUM({_c('c_acctbal')}) AS BIGINT) AS totacctbal_cents
         FROM customer, avg_bal
         WHERE {_c('c_acctbal')} * n > s
           AND NOT EXISTS (

@@ -79,7 +79,7 @@ ORACLES = {
     """,
     "events_enriched_segments": """
         SELECT c_mktsegment, event_type, COUNT(*) AS n,
-               SUM(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
     """,
