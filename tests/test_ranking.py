@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from page_rank_mapreduce_java_spark.operators.ranking import (
+    banded_range_count,
+    global_cume_dist,
     global_dense_rank,
     global_ntile,
     global_row_number,
@@ -59,6 +61,39 @@ def test_global_dense_rank_matches_window(spark):
     want = {
         (r["id"], r["rnk"])
         for r in df.withColumn("rnk", F.dense_rank().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_global_cume_dist_matches_window(spark):
+    # Two low-cardinality partitions with heavy value ties.
+    df = _sample(spark).withColumn("g", (F.col("id") % 2).cast("string"))
+    got = {
+        (r["id"], round(r["cd"], 9))
+        for r in global_cume_dist(df, "g", "v", [F.asc("id")]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r["id"], round(r["cd"], 9))
+        for r in df.withColumn("cd", F.cume_dist().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_banded_range_count_matches_window(spark):
+    # Radius comparable to the value spread so frames straddle chunk
+    # edges; chunk_radii=2 forces many boundary replications.
+    df = _sample(spark).withColumn("g", (F.col("id") % 2).cast("string"))
+    got = {
+        (r["id"], r["n"])
+        for r in banded_range_count(
+            df, ["g"], F.col("v"), radius=7, out_col="n", chunk_radii=2
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v").rangeBetween(-7, 7)
+    want = {
+        (r["id"], r["n"])
+        for r in df.withColumn("n", F.count(F.lit(1)).over(w)).collect()
     }
     assert got == want
 
