@@ -1,0 +1,116 @@
+"""Registry audit-order invariants (VERDICT r2 Next #2/#3).
+
+The driver's correctness gate only checks the first 50 registry entries,
+so ordering IS the evidence policy. These tests pin it:
+
+- every query that needs driver evidence (never-checked, last-check
+  failed, or source changed since its last green) sorts before every
+  already-green entry, so stale greens cannot coast;
+- the evidence ledger stays in sync with the registry;
+- every query has an oracle except the documented rows-only exception.
+"""
+
+from __future__ import annotations
+
+import json
+
+import __spark_entry__ as entrymod
+
+ROWS_ONLY_BY_DESIGN = {"agg_approx_distinct"}
+
+
+def _groups():
+    """Split the registry into (order, recorded-backlog, brand-new, green).
+
+    recorded-backlog = ledger says never-checked / failed / hash-stale;
+    brand-new        = absent from the ledger (added mid-round) — still
+                       needs evidence, but queues behind the backlog so an
+                       exactly-full window is never evicted."""
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    with open(entrymod._EVIDENCE_PATH) as f:
+        evidence = json.load(f)
+    backlog, new, green = [], [], []
+    for name in q:
+        ev = evidence.get(name)
+        if name in ROWS_ONLY_BY_DESIGN:
+            continue
+        if ev is None:
+            new.append(name)
+        elif (
+            ev["driver"] == "never"
+            or ev["driver"].startswith("fail")
+            or ev["hash"] != entrymod.query_hash(q[name], o.get(name))
+        ):
+            backlog.append(name)
+        else:
+            green.append(name)
+    return list(q), backlog, new, green
+
+
+def test_needs_evidence_sorts_before_green():
+    order, backlog, new, green = _groups()
+    needs = backlog + new
+    if not needs or not green:
+        return
+    last_needs = max(order.index(n) for n in needs)
+    first_green = min(order.index(n) for n in green)
+    assert last_needs < first_green, (
+        f"query needing driver evidence sorts after a green one: "
+        f"{order[last_needs]} (#{last_needs}) vs {order[first_green]} "
+        f"(#{first_green}) — regenerate with tools/update_query_evidence.py"
+    )
+
+
+def test_audit_window_covers_recorded_backlog():
+    order, backlog, _, _ = _groups()
+    outside = [n for n in backlog if order.index(n) >= 50]
+    assert not outside, (
+        f"{len(backlog)} recorded queries need driver evidence but only 50 "
+        f"audit slots exist; outside the window: {outside}"
+    )
+
+
+def test_brand_new_queues_behind_backlog():
+    order, backlog, new, _ = _groups()
+    if not backlog or not new:
+        return
+    last_backlog = max(order.index(n) for n in backlog)
+    first_new = min(order.index(n) for n in new)
+    assert last_backlog < first_new, (
+        f"brand-new query {order[first_new]} would evict recorded-backlog "
+        f"query {order[last_backlog]} from the audit window"
+    )
+
+
+def test_evidence_ledger_in_sync():
+    """Every query with recorded driver history must be in the ledger;
+    brand-new queries (added after the round-start ledger regeneration)
+    are legitimately absent until tools/update_query_evidence.py runs at
+    the next round boundary."""
+    q = entrymod.queries()
+    with open(entrymod._EVIDENCE_PATH) as f:
+        evidence = json.load(f)
+    import glob
+    import re
+
+    with_history = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        with_history |= set(json.load(open(path)))
+    missing = (set(q) & with_history) - set(evidence)
+    assert not missing, (
+        f"driver-checked queries missing from query_evidence.json (run "
+        f"tools/update_query_evidence.py): {sorted(missing)}"
+    )
+
+
+def test_every_query_has_oracle():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    missing = set(q) - set(o) - ROWS_ONLY_BY_DESIGN
+    assert not missing, f"queries without DuckDB oracles: {sorted(missing)}"
+
+
+def test_rows_only_exception_sorts_last():
+    order = list(entrymod.queries())
+    assert order[-1] in ROWS_ONLY_BY_DESIGN
