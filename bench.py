@@ -1,12 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"} plus
-"emr_k1000_x10_sec" — the reference's EMR-scale PageRank workload —
+JSON line {"metric", "value", "unit", "queries", "sf", "runs", "spread"}
+plus "emr_k1000_x10_sec" — the reference's EMR-scale PageRank workload —
 unless SPARK_GRAFT_BENCH_EMR=0.
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect). Code paths are warmed at the smallest scale factor
 first so timings measure steady-state execution, not JVM startup.
+
+Noise control (VERDICT r2 next #6: ±20% host-load swings on identical
+code swamped the round-over-round signal): the suite runs
+$SPARK_GRAFT_BENCH_RUNS (default 3) full INTERLEAVED rounds — round-robin
+over queries, not back-to-back repeats, so a load burst lands on
+different queries in different rounds — and reports the per-query MEDIAN
+plus [min, max] spread. "value" is the sum of medians.
 """
 
 from __future__ import annotations
@@ -85,13 +92,27 @@ def main() -> None:
     # warmup + timed runs accumulate executor storage for the session.
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(runs):
+        # Drop the memoized PageRank rank vector: a repeat run must
+        # re-execute the superstep loop, not time a dict lookup.
+        from page_rank_mapreduce_java_spark.graph.queries import _RANKS_CACHE
 
+        _RANKS_CACHE.clear()
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: median(ts) for name, ts in samples.items()}
+    spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
 
     # The reference's own production workload (Makefile aws.k=1000,
@@ -102,11 +123,14 @@ def main() -> None:
         from page_rank_mapreduce_java_spark.graph.generators import chain_edges
         from page_rank_mapreduce_java_spark.graph.pagerank import pagerank
 
-        t0 = time.time()
-        pagerank(chain_edges(spark, 1000), num_iterations=10).ranks.write.format(
-            "noop"
-        ).mode("overwrite").save()
-        emr_sec = round(time.time() - t0, 3)
+        emr_samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            pagerank(chain_edges(spark, 1000), num_iterations=10).ranks.write.format(
+                "noop"
+            ).mode("overwrite").save()
+            emr_samples.append(round(time.time() - t0, 3))
+        emr_sec = median(emr_samples)
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -114,6 +138,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": runs,
+        "spread": spread,
     }
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec

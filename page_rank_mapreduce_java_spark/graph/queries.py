@@ -90,16 +90,20 @@ def weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rank_e8():
     return F.round(F.col("rank") * 1e8).cast("long")
 
-# One PageRank run per (session, sf_dir, variant): q_pagerank_topk derives
-# from the same rank vector as q_pagerank, so running the 5-superstep loop
-# twice per bench/gate pass was pure waste (ADVICE r1). The cached DataFrame
-# is localCheckpoint-backed — holding the reference keeps its blocks alive;
-# entries die with the session.
+# One PageRank run per (application, sf_dir, variant): q_pagerank_topk
+# derives from the same rank vector as q_pagerank, so running the
+# 5-superstep loop twice per bench/gate pass was pure waste (ADVICE r1).
+# The cached DataFrame is localCheckpoint-backed — holding the reference
+# keeps its blocks alive. Keyed by applicationId, not id(spark): a stopped
+# session's id() can be reused by a new SparkSession, which would then
+# receive cached DataFrames bound to the dead JVM context (ADVICE r2);
+# applicationId is unique per SparkContext. Entries for dead applications
+# are tiny plan handles (their cached blocks die with the context).
 _RANKS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _corpus_ranks(spark: SparkSession, sf_dir: str, personalized: bool = False) -> DataFrame:
-    key = (id(spark), sf_dir, personalized)
+    key = (spark.sparkContext.applicationId, sf_dir, personalized)
     if key not in _RANKS_CACHE:
         edges = derived_edges(spark, sf_dir)
         sources = None
@@ -123,7 +127,7 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph/pagerank.py) on lineitem-count weights — the importance
     ranking a recommendation pipeline actually wants, where buying 40
     times from a supplier should count 40× a single order."""
-    key = (id(spark), sf_dir, "weighted")
+    key = (spark.sparkContext.applicationId, sf_dir, "weighted")
     if key not in _RANKS_CACHE:
         res = pagerank(
             weighted_edges(spark, sf_dir),

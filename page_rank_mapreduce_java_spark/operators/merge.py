@@ -5,6 +5,13 @@ it. The relational emulation — anti-join + union, with SCD2 history as a
 window over validity ranges — covers the batch-CDC need and swaps
 one-for-one for `MERGE INTO` when a lakehouse format is on the cluster.
 
+FINAL (round 3): Delta/Iceberg are not installable in this offline
+environment (no Python modules, no extension jars shipped with pyspark,
+no network), so this emulation IS the repo's MERGE surface — a documented
+boundary, not a TODO. What the emulation does NOT give you: snapshot
+isolation between concurrent writers, conflict detection, and time
+travel; those require the format's transaction log.
+
 Scale: one shuffle on the merge key for the join, one for the union's
 dedup window. Updates should be small relative to target → broadcast.
 """

@@ -98,10 +98,24 @@ def compact_parquet(
     Partition count comes from the CURRENT on-disk byte size (a metadata
     listing), not a row count — so the rewrite itself never scans twice.
     The new copy lands in a sibling temp dir; the swap is two FS renames,
-    which are atomic per-directory on HDFS/local FS (on S3 the rename is
-    a copy — pair this with a manifest commit there). Readers holding the
-    old DataFrame keep reading the renamed-away files until their plan is
-    re-resolved, matching Spark's usual snapshot-at-plan semantics.
+    each atomic per-directory on HDFS/local FS (on S3 the rename is a
+    copy — pair this with a manifest commit there). The swap as a WHOLE
+    is not atomic: between the two renames the table path briefly does
+    not exist, so a reader that PLANS in that window fails with
+    path-not-found (readers that planned earlier keep reading the
+    renamed-away files, Spark's usual snapshot-at-plan semantics), and a
+    crash between the renames strands the data at ``<path>._compact_old``
+    — recover by renaming that directory back over ``path``.
+    ``recover_compaction`` below does exactly that; run it (or check for
+    a leftover ``._compact_old``) at pipeline startup. True no-gap swaps
+    need a transactional table format, which is out of scope here (see
+    operators/merge.py).
+
+    The source is read with ``mergeSchema`` (read_parquet_evolving):
+    compaction is the documented follow-up to ``append_parquet``'s
+    additive-schema appends, and a plain read would take the schema of
+    one arbitrary footer and silently drop columns present only in newer
+    files.
     """
     stats = parquet_file_stats(spark, path)
     parts = max(1, -(-stats.total_bytes // target_partition_bytes))
@@ -110,7 +124,9 @@ def compact_parquet(
     # repartition (round-robin, no key): even output sizes regardless of
     # the input's key distribution — this is layout maintenance, any
     # bucketing/sort contract should use write_bucketed instead.
-    spark.read.parquet(path).repartition(parts).write.mode("overwrite").parquet(tmp)
+    read_parquet_evolving(spark, path).repartition(parts).write.mode(
+        "overwrite"
+    ).parquet(tmp)
 
     fs, jpath, jvm = _hadoop_fs(spark, path)
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
@@ -124,3 +140,19 @@ def compact_parquet(
         raise IOError(f"compact_parquet: could not promote {tmp}")
     fs.delete(jold, True)
     return parquet_file_stats(spark, path)
+
+
+def recover_compaction(spark: SparkSession, path: str) -> bool:
+    """Startup check for a compaction that crashed between its two swap
+    renames (table stranded at ``<path>._compact_old`` while ``path`` is
+    missing). Returns True if a recovery rename was performed. Safe to
+    run unconditionally on a cadence: it only acts when the table path is
+    absent AND the old copy exists, so a healthy or mid-write table is
+    never touched."""
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    jold = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_old")
+    if fs.exists(jold) and not fs.exists(jpath):
+        if not fs.rename(jold, jpath):
+            raise IOError(f"recover_compaction: could not restore {path}")
+        return True
+    return False
