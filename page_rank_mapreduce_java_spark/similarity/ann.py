@@ -71,14 +71,13 @@ def plane_weight_expr(j: int, dim_var: str = "d", dim: int = 64) -> str:
     )
 
 
-def lsh_buckets(
-    df: DataFrame,
-    n_planes: int = 8,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign each vector a sign-random-projection bucket in [0, 2^n_planes)."""
+def lsh_bucket_col(
+    vec_col: str = "embedding", n_planes: int = 8, dim: int = 64
+):
+    """Column expression: sign-random-projection bucket in [0, 2^n_planes).
+    Pure JVM arithmetic (no UDF); ``lsh_buckets_sql`` renders the
+    bit-identical DuckDB expression (driver-certified portable in
+    ann_lsh_buckets r2)."""
     bucket = None
     for j in range(n_planes):
         dot_j = F.expr(
@@ -88,7 +87,21 @@ def lsh_buckets(
         )
         bit = (dot_j > 0).cast("long") * F.lit(2**j)
         bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return bucket
+
+
+def lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a sign-random-projection bucket in [0, 2^n_planes)."""
+    return df.select(
+        F.col(id_col),
+        lsh_bucket_col(vec_col, n_planes, dim).alias("bucket"),
+    )
 
 
 def ivf_assign(
