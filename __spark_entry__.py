@@ -96,6 +96,7 @@ def _registry() -> tuple[dict, dict]:
         relational3,
         relational4,
         relational5,
+        relational6,
     )
     from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
@@ -112,6 +113,7 @@ def _registry() -> tuple[dict, dict]:
         relational3,
         relational4,
         relational5,
+        relational6,
         dedup_queries,
         sim_queries,
         text_queries,

@@ -418,6 +418,45 @@ r{i} AS MATERIALIZED (SELECT n.id,
     )
 
 
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 supplier pairs by common neighbors in the co-occurrence
+    graph (the link-prediction primitive: two suppliers never seen in
+    one order, ranked by how many partners they share).
+
+    Shape: symmetrize the src<dst edge set, wedge-join on the shared
+    endpoint, count per pair — one equi-join + one aggregate, the same
+    m-bounded wedge volume as the triangle counter (graph/motifs.py).
+    At 100 TB the wedge count is dominated by hub nodes (Σ deg²); the
+    standard mitigation is dropping hubs above a degree cap before the
+    join (they carry no link-prediction signal), which composes here as
+    one extra degree filter on ``sym``. Fully tie-broken LIMIT."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a, b = sym.alias("a"), sym.alias("b")
+    return (
+        a.join(b, F.col("a.dst") == F.col("b.dst"))
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy(F.desc("n_common"), F.asc("u"), F.asc("v"))
+        .limit(25)
+    )
+
+
+COMMON_NEIGHBORS_SQL = f"""
+    WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    p AS (
+      SELECT a.src AS u, b.src AS v, COUNT(*) AS n_common
+      FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT u, v, n_common FROM p ORDER BY n_common DESC, u, v LIMIT 25
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_pagerank_weighted": q_pagerank_weighted,
@@ -433,6 +472,7 @@ QUERIES = {
     "graph_triangle_counts": q_triangle_counts,
     "graph_kcore": q_kcore,
     "graph_hits": q_hits,
+    "graph_common_neighbors": q_common_neighbors,
 }
 
 ORACLES = {
@@ -461,6 +501,7 @@ ORACLES = {
     "graph_connected_components": _cc_oracle_sql(),
     "graph_bfs_hops": _bfs_oracle_sql(),
     "graph_personalized_pagerank": _ppr_oracle_sql(),
+    "graph_common_neighbors": COMMON_NEIGHBORS_SQL,
 }
 
 # Import placed late to keep the oracle builders' reading order; the

@@ -1,0 +1,191 @@
+"""Relational operator surface, batch 6 (round 3): event-sequence funnel
+analysis and explicit skew-salted joins.
+
+Funnel analysis is the MATCH_RECOGNIZE-shaped query of product
+analytics: how many users progressed view → click → purchase, in
+temporal order. The reference has nothing sequence-aware (its one
+pipeline is the fixed PageRank loop, pageRank_v2.java:25-47); here the
+sequence constraint is expressed as per-stage minimal-timestamp
+relational algebra — each stage is a groupBy(user) on a filtered scan
+joined to the previous stage, so Catalyst keeps every step a pushed
+filter + one user_id-keyed shuffle, reused across stages.
+
+The salted join makes the skew playbook a first-class operator instead
+of advice: when a shuffle-join key is pathologically hot (one customer
+placing 10% of all orders), AQE's skew split (conf/ enables it) handles
+most cases at runtime; ``salted_join`` is the static variant for when
+the hot keys are KNOWN, splitting each hot key into ``n_salts``
+sub-keys on the fact side and replicating only the hot dimension rows
+per salt — cold keys pay nothing. Result sets are identical to the
+plain join (salt is an execution detail), which is exactly what the
+oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.functions.money import cents as _cents, cents_sql
+
+
+# --- event-sequence funnel ----------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel user counts: users whose first 'view' precedes a
+    'click' which precedes a 'purchase' (>= on timestamps: same-instant
+    progression counts, deterministically on both engines).
+
+    Scale shape: three pushed event_type filters over one scan lineage;
+    every aggregate and join is keyed on user_id, so the whole funnel is
+    one exchange key end-to-end — AQE reuses the partitioning instead of
+    re-shuffling per stage. No windows, no driver-side state.
+    """
+    e = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("3_purchase").alias("stage"), "user_id"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+FUNNEL_SQL = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+"""
+
+
+# --- skew-salted join ---------------------------------------------------------
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    n_salts: int = 8,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """Inner equi-join on ``key`` where the listed hot keys are split
+    into ``n_salts`` sub-keys.
+
+    ``hot_keys``: small DataFrame[key] of the skewed values (from a
+    stats pass or a heavy-hitter sketch); broadcast twice. Fact rows on
+    a hot key get salt = xxhash64(salt_src) % n_salts (``salt_src``
+    defaults to the key itself — pass a finer-grained column for real
+    spread; any deterministic expression works, the salt never reaches
+    the output). Dim rows on a hot key are replicated once per salt via
+    an inline explode; cold rows on both sides carry salt 0 and are
+    neither split nor replicated. The join key becomes (key, salt), so
+    a hot key's rows spread over ``n_salts`` reducers instead of one
+    straggler. Result is row-identical to ``fact.join(dim, key)``.
+    """
+    if salt_src is None:
+        salt_src = F.col(key)
+    hk = F.broadcast(hot_keys.select(F.col(key)).withColumn("_hot", F.lit(1)))
+    f = (
+        fact.join(hk, key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64(salt_src), F.lit(n_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    d = (
+        dim.join(hk, key, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_salts", "_hot")
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+def q_join_salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order count + revenue through ``salted_join``, with
+    every 100th custkey declared hot (a stand-in for a measured
+    heavy-hitter list). The salt is pure execution detail: the result —
+    and the oracle — is the plain orders⋈customer rollup."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"),
+        _cents("o_totalprice").alias("cents"),
+        "o_orderkey",
+    )
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    hot = cust.filter(F.col("c_custkey") % 100 == 0).select("c_custkey")
+    joined = salted_join(
+        o, cust, "c_custkey", hot, n_salts=8, salt_src=F.col("o_orderkey")
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+SALTED_NATION_SQL = f"""
+    SELECT c_nationkey, COUNT(*) AS n_orders,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+"""
+
+
+QUERIES = {
+    "events_funnel_conversion": q_events_funnel_conversion,
+    "join_salted_nation_revenue": q_join_salted_nation_revenue,
+}
+
+ORACLES = {
+    "events_funnel_conversion": FUNNEL_SQL,
+    "join_salted_nation_revenue": SALTED_NATION_SQL,
+}
