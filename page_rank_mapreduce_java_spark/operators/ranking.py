@@ -171,6 +171,42 @@ def banded_range_count(
     )
 
 
+def global_percent_rank(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    tiebreak: list[Column],
+    out_col: str = "pr",
+) -> DataFrame:
+    """PERCENT_RANK within low-cardinality partitions, scalably — the
+    same two-pass global-row-number chassis as ``global_cume_dist``, but
+    with the tie rule inverted: SQL PERCENT_RANK uses RANK (ties share
+    the MIN position), so the per-(partition, value) reduction is min
+    instead of max, and pr = (rank - 1) / (partition_rows - 1), defined
+    as 0 for single-row partitions."""
+    r = global_row_number(
+        df, [F.asc(part_col), F.asc(value_col), *tiebreak], out_col="_grn"
+    )
+    stats = r.groupBy(part_col).agg(
+        (F.min("_grn") - 1).alias("_off"), F.count(F.lit(1)).alias("_tot")
+    )
+    pos = r.join(F.broadcast(stats), part_col).withColumn(
+        "_pos", F.col("_grn") - F.col("_off")
+    )
+    rnk = pos.groupBy(part_col, value_col).agg(F.min("_pos").alias("_rnk"))
+    return (
+        pos.join(rnk, [part_col, value_col])
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_tot") > 1,
+                (F.col("_rnk") - 1).cast("double") / (F.col("_tot") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_grn", "_off", "_tot", "_pos", "_rnk")
+    )
+
+
 def global_dense_rank(
     df: DataFrame, order_col: Column, value_alias: str, out_col: str = "rnk", ascending: bool = False
 ) -> DataFrame:

@@ -111,3 +111,19 @@ def test_ranking_plan_has_single_full_data_exchange(spark):
     # The only Window node is the offsets prefix-sum over per-partition
     # counts (one row per partition), never the full input.
     assert len(re.findall(r"(?m)^\(\d+\) Window", plan)) <= 1
+
+
+def test_global_percent_rank_matches_window(spark):
+    from page_rank_mapreduce_java_spark.operators.ranking import global_percent_rank
+
+    df = _sample(spark).withColumn("g", (F.col("id") % 2).cast("string"))
+    got = {
+        (r["id"], round(r["pr"], 9))
+        for r in global_percent_rank(df, "g", "v", [F.asc("id")]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r["id"], round(r["pr"], 9))
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert got == want

@@ -76,3 +76,29 @@ def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
     assert hot_salts >= 6
     # ...and the dim side must replicate ONLY the hot row.
     assert got.count() == want.count()
+
+
+def test_kmv_estimate_within_sketch_error(spark):
+    """KMV with K=64 must land within ~3 standard errors (~40%) of the
+    true distinct count on a 1000-member group, and be EXACT below K."""
+    from page_rank_mapreduce_java_spark.functions.hashes import md5_long
+    from page_rank_mapreduce_java_spark.operators.ranking import global_row_number
+    from page_rank_mapreduce_java_spark.operators.relational6 import KMV_K
+
+    rows = [("big", i) for i in range(1000)] + [("small", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g STRING, member LONG")
+    d = df.select("g", md5_long(F.col("member").cast("string")).alias("hv")).distinct()
+    r = global_row_number(d, [F.asc("g"), F.asc("hv")], out_col="_grn")
+    stats = r.groupBy("g").agg((F.min("_grn") - 1).alias("_off"))
+    pos = r.join(F.broadcast(stats), "g").withColumn("_pos", F.col("_grn") - F.col("_off"))
+    agg = (
+        pos.filter(F.col("_pos") <= KMV_K)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("hk"))
+    )
+    est_col = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.round(F.lit(float(KMV_K - 1)) * F.lit(float(2**60)) / F.col("hk").cast("double")).cast("long")
+    )
+    est = {r["g"]: r["e"] for r in agg.select("g", est_col.alias("e")).collect()}
+    assert est["small"] == 40
+    assert 600 <= est["big"] <= 1400, est["big"]
