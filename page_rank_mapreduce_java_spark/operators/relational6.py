@@ -305,12 +305,100 @@ PERCENT_RANK_SQL = f"""
 """
 
 
+# --- retention cohort matrix --------------------------------------------------
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day (cohort),
+    counted by how many were active again N days later. The classic
+    product-analytics triangle, as two aggregates and one join — the
+    cohort assignment joins back on user_id (high cardinality), then the
+    (cohort_day, day_offset) rollup is tiny."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = e.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+RETENTION_SQL = """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+"""
+
+
+# --- data-quality: FK integrity -----------------------------------------------
+
+
+def q_dq_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census over the star schema: orphan counts
+    for each FK edge a warehouse load would validate. Each check is one
+    left-anti join against the (broadcast-sized or shuffle-keyed) parent
+    key set — the cheapest possible shape; a clean load returns zeros,
+    and the query doubles as the engine's data-quality gate template."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+
+    def orphans(name: str, child: DataFrame, key, parent: DataFrame, pkey) -> DataFrame:
+        cnt = (
+            child.select(F.col(key).alias("k"))
+            .join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return cnt.select(F.lit(name).alias("fk"), "n_orphans")
+
+    return (
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+        .unionByName(orphans("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(orphans("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+        .unionByName(orphans("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"))
+    )
+
+
+DQ_FK_SQL = """
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier', COUNT(*)
+    FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', COUNT(*)
+    FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', COUNT(*)
+    FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": q_events_funnel_conversion,
     "join_salted_nation_revenue": q_join_salted_nation_revenue,
     "agg_kmv_distinct": q_agg_kmv_distinct,
     "events_daily_new_users": q_events_daily_new_users,
     "window_percent_rank": q_window_percent_rank,
+    "events_retention_cohorts": q_events_retention_cohorts,
+    "dq_fk_violations": q_dq_fk_violations,
 }
 
 ORACLES = {
@@ -319,4 +407,6 @@ ORACLES = {
     "agg_kmv_distinct": _kmv_sql(),
     "events_daily_new_users": DAILY_NEW_USERS_SQL,
     "window_percent_rank": PERCENT_RANK_SQL,
+    "events_retention_cohorts": RETENTION_SQL,
+    "dq_fk_violations": DQ_FK_SQL,
 }
