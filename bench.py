@@ -56,6 +56,12 @@ HEADLINE = [
     "graph_kcore",
     "text_tfidf_top_terms",
     "events_enriched_segments",
+    # round 3 additions
+    "events_funnel_conversion",
+    "dedup_passages",
+    "agg_kmv_distinct",
+    "graph_common_neighbors",
+    "window_percent_rank",
 ]
 
 
