@@ -1,5 +1,8 @@
-"""Relational operator surface, batch 6 (round 3): event-sequence funnel
-analysis and explicit skew-salted joins.
+"""Relational operator surface, batch 6 (round 3): the operational-
+analytics block — event-sequence funnel, skew-salted join, KMV distinct
+sketch, retention (daily new users + cohort matrix), scalable
+percent_rank, volume-anomaly detection, exact integer EWMA scoring, and
+data-quality censuses (FK orphans, join-key skew).
 
 Funnel analysis is the MATCH_RECOGNIZE-shaped query of product
 analytics: how many users progressed view → click → purchase, in
@@ -391,6 +394,167 @@ DQ_FK_SQL = """
 """
 
 
+# --- volume anomaly detection -------------------------------------------------
+
+
+def q_events_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily volume deviation vs the trailing week — the
+    ops-monitoring staple, in EXACT integer arithmetic: the score is
+    n·days7·1000 div sum7 (1000 = exactly the trailing average; an
+    alerting pipeline thresholds it, e.g. > 2000 for a 2x spike).
+    Integer `div` on both engines — no float division, no drift. The
+    window runs over the aggregated (type, day) relation (~days x types
+    rows), not the fact table, so partitioning by event_type is fine at
+    any scale — the fact table only pays one groupBy."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, -1 * 86400)
+    )
+    trailing = daily.withColumn("sum7", F.sum("n").over(w)).withColumn(
+        "days7", F.count(F.lit(1)).over(w)
+    )
+    return trailing.filter(F.col("days7") >= 3).select(
+        "event_type",
+        "day",
+        "n",
+        F.col("sum7").alias("trailing_sum"),
+        F.expr("n * days7 * 1000 div sum7").alias("deviation_permille"),
+    )
+
+
+VOLUME_ANOMALIES_SQL = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER w AS sum7, COUNT(*) OVER w AS days7
+      FROM daily
+      WINDOW w AS (
+        PARTITION BY event_type
+        ORDER BY epoch(CAST(day AS TIMESTAMP))
+        RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING
+      )
+    )
+    SELECT event_type, day, n,
+           CAST(sum7 AS BIGINT) AS trailing_sum,
+           CAST(n * days7 * 1000 // sum7 AS BIGINT) AS deviation_permille
+    FROM t
+    WHERE days7 >= 3
+"""
+
+
+# --- exact integer EWMA -------------------------------------------------------
+
+EWMA_LAGS = 8
+
+
+def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted value over the last 8 events
+    (alpha = 1/2) in EXACT integer arithmetic: with dyadic weights the
+    scaled score Σ v_j·2^(7-j) (j = 0 most recent) is pure BIGINT math —
+    no float accumulation, no cross-engine drift. Emitted per user at
+    the latest event (x256-scaled cents). The lag window is per-user
+    (high-cardinality partition), tie-broken on event_id."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", _cents("value").alias("vc"), "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        *[
+            F.coalesce(F.lag("vc", j).over(w), F.lit(0)).alias(f"l{j}")
+            for j in range(EWMA_LAGS)
+        ],
+    )
+    score = sum(
+        F.col(f"l{j}") * F.lit(2 ** (EWMA_LAGS - 1 - j)) for j in range(EWMA_LAGS)
+    )
+    latest = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        lagged.withColumn("ewma_x256", score)
+        .withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("ewma_x256").cast("long").alias("ewma_x256"))
+    )
+
+
+def _ewma_sql() -> str:
+    lags = ", ".join(
+        f"COALESCE(lag({cents_sql('value')}, {j}) OVER w, 0) AS l{j}"
+        for j in range(EWMA_LAGS)
+    )
+    score = " + ".join(f"l{j} * {2 ** (EWMA_LAGS - 1 - j)}" for j in range(EWMA_LAGS))
+    return f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, {lags}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    scored AS (
+      SELECT user_id, {score} AS ewma_x256,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM lagged
+    )
+    SELECT user_id, CAST(ewma_x256 AS BIGINT) AS ewma_x256
+    FROM scored WHERE rn = 1
+"""
+
+
+# --- join-key skew diagnostics ------------------------------------------------
+
+
+def q_dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter census for a join key (l_suppkey): top-10 keys by
+    row count with an integer skew score (key_count · n_keys · 1000 /
+    total — permille of a perfectly uniform share; 1000 = uniform).
+    This is the measurement pass that feeds ``salted_join``'s hot-key
+    list; one groupBy + a tiny broadcast of the global totals."""
+    li = load_table(spark, "lineitem", sf_dir)
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    totals = per_key.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        per_key.join(F.broadcast(totals), F.lit(True))
+        .select(
+            "l_suppkey",
+            "n",
+            # Integer division on BOTH engines: Spark's `/` is double
+            # division and cast-to-long truncates, while DuckDB CAST of
+            # a double rounds — `div` / `//` sidestep the divergence.
+            F.expr("n * _nkeys * 1000 div _total").alias("skew_permille"),
+        )
+        .orderBy(F.desc("n"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+
+
+DQ_SKEW_SQL = """
+    WITH per_key AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM per_key)
+    SELECT l_suppkey, n,
+           CAST(n * nkeys * 1000 // total AS BIGINT) AS skew_permille
+    FROM per_key, t
+    ORDER BY n DESC, l_suppkey LIMIT 10
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": q_events_funnel_conversion,
     "join_salted_nation_revenue": q_join_salted_nation_revenue,
@@ -399,6 +563,9 @@ QUERIES = {
     "window_percent_rank": q_window_percent_rank,
     "events_retention_cohorts": q_events_retention_cohorts,
     "dq_fk_violations": q_dq_fk_violations,
+    "events_volume_anomalies": q_events_volume_anomalies,
+    "events_ewma_value": q_events_ewma_value,
+    "dq_join_key_skew": q_dq_join_key_skew,
 }
 
 ORACLES = {
@@ -409,4 +576,7 @@ ORACLES = {
     "window_percent_rank": PERCENT_RANK_SQL,
     "events_retention_cohorts": RETENTION_SQL,
     "dq_fk_violations": DQ_FK_SQL,
+    "events_volume_anomalies": VOLUME_ANOMALIES_SQL,
+    "events_ewma_value": _ewma_sql(),
+    "dq_join_key_skew": DQ_SKEW_SQL,
 }
