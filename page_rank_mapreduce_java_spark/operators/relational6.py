@@ -16,7 +16,8 @@ filter + one user_id-keyed shuffle, reused across stages.
 The salted join makes the skew playbook a first-class operator instead
 of advice: when a shuffle-join key is pathologically hot (one customer
 placing 10% of all orders), AQE's skew split (conf/ enables it) handles
-most cases at runtime; ``salted_join`` is the static variant for when
+most cases at runtime; ``salted_join_hot_keys`` (plans/skew.py) is
+the static variant for when
 the hot keys are KNOWN, splitting each hot key into ``n_salts``
 sub-keys on the fact side and replicating only the hot dimension rows
 per salt — cold keys pay nothing. Result sets are identical to the
@@ -26,7 +27,7 @@ oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from page_rank_mapreduce_java_spark.catalog import load_table
@@ -103,61 +104,17 @@ FUNNEL_SQL = """
 # --- skew-salted join ---------------------------------------------------------
 
 
-def salted_join(
-    fact: DataFrame,
-    dim: DataFrame,
-    key: str,
-    hot_keys: DataFrame,
-    n_salts: int = 8,
-    salt_src: Column | None = None,
-) -> DataFrame:
-    """Inner equi-join on ``key`` where the listed hot keys are split
-    into ``n_salts`` sub-keys.
-
-    ``hot_keys``: small DataFrame[key] of the skewed values (from a
-    stats pass or a heavy-hitter sketch); broadcast twice. Fact rows on
-    a hot key get salt = xxhash64(salt_src) % n_salts (``salt_src``
-    defaults to the key itself — pass a finer-grained column for real
-    spread; any deterministic expression works, the salt never reaches
-    the output). Dim rows on a hot key are replicated once per salt via
-    an inline explode; cold rows on both sides carry salt 0 and are
-    neither split nor replicated. The join key becomes (key, salt), so
-    a hot key's rows spread over ``n_salts`` reducers instead of one
-    straggler. Result is row-identical to ``fact.join(dim, key)``.
-    """
-    if salt_src is None:
-        salt_src = F.col(key)
-    hk = F.broadcast(hot_keys.select(F.col(key)).withColumn("_hot", F.lit(1)))
-    f = (
-        fact.join(hk, key, "left")
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("_hot").isNotNull(),
-                F.pmod(F.xxhash64(salt_src), F.lit(n_salts)),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("_hot")
-    )
-    d = (
-        dim.join(hk, key, "left")
-        .withColumn(
-            "_salts",
-            F.when(
-                F.col("_hot").isNotNull(),
-                F.sequence(F.lit(0), F.lit(n_salts - 1)),
-            ).otherwise(F.array(F.lit(0))),
-        )
-        .withColumn("_salt", F.explode("_salts"))
-        .drop("_salts", "_hot")
-    )
-    return f.join(d, [key, "_salt"]).drop("_salt")
+# The targeted hot-key salting operator lives with the rest of the skew
+# playbook (plans/skew.py: with_salt, salted_aggregate, whole-side
+# salted_join); this module registers the query that certifies it.
+from page_rank_mapreduce_java_spark.plans.skew import salted_join_hot_keys
 
 
 def q_join_salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation order count + revenue through ``salted_join``, with
-    every 100th custkey declared hot (a stand-in for a measured
-    heavy-hitter list). The salt is pure execution detail: the result —
+    """Per-nation order count + revenue through ``salted_join_hot_keys``
+    (plans/skew.py), with every 100th custkey declared hot (a stand-in
+    for a measured heavy-hitter list — dq_join_key_skew is the
+    measurement pass). The salt is pure execution detail: the result —
     and the oracle — is the plain orders⋈customer rollup."""
     o = load_table(spark, "orders", sf_dir).select(
         F.col("o_custkey").alias("c_custkey"),
@@ -166,7 +123,7 @@ def q_join_salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     hot = cust.filter(F.col("c_custkey") % 100 == 0).select("c_custkey")
-    joined = salted_join(
+    joined = salted_join_hot_keys(
         o, cust, "c_custkey", hot, n_salts=8, salt_src=F.col("o_orderkey")
     )
     return joined.groupBy("c_nationkey").agg(
@@ -521,7 +478,7 @@ def q_dq_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter census for a join key (l_suppkey): top-10 keys by
     row count with an integer skew score (key_count · n_keys · 1000 /
     total — permille of a perfectly uniform share; 1000 = uniform).
-    This is the measurement pass that feeds ``salted_join``'s hot-key
+    This is the measurement pass that feeds ``salted_join_hot_keys``'s hot-key
     list; one groupBy + a tiny broadcast of the global totals."""
     li = load_table(spark, "lineitem", sf_dir)
     per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))

@@ -79,3 +79,58 @@ def salted_join(
     salts = big.sparkSession.range(buckets).select(F.col("id").cast("int").alias("_salt"))
     small_r = small.crossJoin(salts)
     return big_s.join(small_r, [key, "_salt"]).drop("_salt")
+
+
+def salted_join_hot_keys(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    n_salts: int = 8,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """Inner equi-join on ``key`` where ONLY the listed hot keys are
+    split into ``n_salts`` sub-keys — the targeted variant of
+    ``salted_join`` above (which replicates the whole small side when
+    the entire key distribution is power-law; this one replicates just
+    the hot dimension rows, so cold keys pay nothing).
+
+    ``hot_keys``: small DataFrame[key] of the skewed values (from a
+    stats pass such as the dq_join_key_skew census, or a heavy-hitter
+    sketch); broadcast twice. Fact rows on a hot key get salt =
+    xxhash64(salt_src) % n_salts (``salt_src`` defaults to the key
+    itself — pass a finer-grained column for real spread; any
+    deterministic expression works, the salt never reaches the output).
+    Dim rows on a hot key are replicated once per salt via an inline
+    explode; cold rows on both sides carry salt 0. The join key becomes
+    (key, salt), so a hot key's rows spread over ``n_salts`` reducers
+    instead of one straggler. Result is row-identical to
+    ``fact.join(dim, key)``.
+    """
+    if salt_src is None:
+        salt_src = F.col(key)
+    hk = F.broadcast(hot_keys.select(F.col(key)).withColumn("_hot", F.lit(1)))
+    f = (
+        fact.join(hk, key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64(salt_src), F.lit(n_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    d = (
+        dim.join(hk, key, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .drop("_salts", "_hot")
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")

@@ -7,7 +7,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from page_rank_mapreduce_java_spark.operators.relational6 import salted_join
+from page_rank_mapreduce_java_spark.plans.skew import salted_join_hot_keys
 
 
 def _ts(minute: int) -> dt.datetime:
@@ -58,7 +58,7 @@ def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
         [(k, f"d{k}") for k in range(1, 10)], "k LONG, attr STRING"
     )
     hot = spark.createDataFrame([(7,)], "k LONG")
-    got = salted_join(fact, dim, "k", hot, n_salts=8, salt_src=F.col("payload"))
+    got = salted_join_hot_keys(fact, dim, "k", hot, n_salts=8, salt_src=F.col("payload"))
     want = fact.join(dim, "k")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # The hot key's fact rows must actually spread across salts...
