@@ -457,6 +457,117 @@ COMMON_NEIGHBORS_SQL = f"""
 """
 
 
+SCC_ROUNDS = 5  # closure covers paths up to 2^5 hops — both engines
+# unroll the SAME round count, so the (complete on this graph's
+# diameter) closure is identical by construction.
+
+
+def directed_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed bulk-flow graph: s1 → s2 when they share an order with
+    both lines ≥ 40 units and s1's quantity strictly exceeds s2's.
+    Reverse edges arise across different orders, so nontrivial cycles —
+    and SCCs — exist. The ≥40 filter keeps the demo graph sparse (the
+    graph-density lesson in PERF.md)."""
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") >= 40)
+    a, b = l.alias("a"), l.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+            & (F.col("a.l_quantity") > F.col("b.l_quantity")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed bulk-flow supplier
+    graph: scc_id = min member id, via a FIXED-ROUND doubling transitive
+    closure (paths ≤ 2^SCC_ROUNDS) and a mutual-reachability join.
+
+    Why doubling, not coloring: forward-backward coloring (the
+    production SCC algorithm at scale) iterates a data-dependent number
+    of rounds, which an unrolled SQL oracle cannot mirror; fixed-round
+    doubling computes the identical relation on both engines by
+    construction. The closure is quadratic in component size, so this
+    formulation is for moderate graphs — at 100 TB you run FW-BW
+    coloring on the same superstep chassis as connected components and
+    give up the cross-engine oracle, not the algorithm."""
+    # Each round is MATERIALIZED (eager localCheckpoint): without the
+    # lineage cut the 5 join+distinct rounds compound into one enormous
+    # lazy tree (~1.5 MB task binaries, 43 s at sf0.01); cut, the whole
+    # closure runs in a few small jobs. Early exit when the closure
+    # stops growing — the converged relation equals the oracle's
+    # fixed-round one by definition, so the comparison is unaffected.
+    c = directed_supplier_edges(spark, sf_dir).localCheckpoint()
+    size = c.count()
+    for _ in range(SCC_ROUNDS):
+        step = (
+            c.alias("x")
+            .join(c.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        )
+        c = c.unionByName(step).distinct().localCheckpoint()
+        new_size = c.count()
+        if new_size == size:
+            break
+        size = new_size
+    nodes = c.select(F.col("src").alias("id")).union(
+        c.select(F.col("dst").alias("id"))
+    ).distinct()
+    mutual = (
+        c.alias("f")
+        .join(
+            c.alias("r"),
+            (F.col("f.src") == F.col("r.dst")) & (F.col("f.dst") == F.col("r.src")),
+        )
+        .select(F.col("f.src").alias("u"), F.col("f.dst").alias("v"))
+    )
+    lbl = mutual.groupBy("u").agg(F.min("v").alias("mv"))
+    return nodes.join(lbl, nodes.id == lbl.u, "left").select(
+        F.col("id"),
+        F.least(F.col("id"), F.coalesce(F.col("mv"), F.col("id"))).alias("scc_id"),
+    )
+
+
+def _scc_oracle_sql(rounds: int = SCC_ROUNDS) -> str:
+    base = """WITH e AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_suppkey <> b.l_suppkey
+       AND a.l_quantity > b.l_quantity
+      WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+    ),
+    c0 AS MATERIALIZED (SELECT src, dst FROM e)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f""",
+    c{i} AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM c{p}
+        UNION ALL
+        SELECT x.src, y.dst FROM c{p} x JOIN c{p} y ON x.dst = y.src
+      )
+    )"""
+        )
+    return (
+        base
+        + "".join(steps)
+        + f""",
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    m AS (SELECT a.src AS u, MIN(a.dst) AS mv
+          FROM c{rounds} a JOIN c{rounds} b ON a.src = b.dst AND a.dst = b.src
+          GROUP BY a.src)
+    SELECT id, CAST(LEAST(id, COALESCE(mv, id)) AS BIGINT) AS scc_id
+    FROM nodes LEFT JOIN m ON id = u"""
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_pagerank_weighted": q_pagerank_weighted,
@@ -473,6 +584,7 @@ QUERIES = {
     "graph_kcore": q_kcore,
     "graph_hits": q_hits,
     "graph_common_neighbors": q_common_neighbors,
+    "graph_scc": q_scc,
 }
 
 ORACLES = {
@@ -502,6 +614,7 @@ ORACLES = {
     "graph_bfs_hops": _bfs_oracle_sql(),
     "graph_personalized_pagerank": _ppr_oracle_sql(),
     "graph_common_neighbors": COMMON_NEIGHBORS_SQL,
+    "graph_scc": _scc_oracle_sql(),
 }
 
 # Import placed late to keep the oracle builders' reading order; the

@@ -239,6 +239,83 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert_to_parquet(
+    stream: DataFrame,
+    target_dir: str,
+    key: str,
+    version_col: str,
+) -> None:
+    """Streaming CDC upsert: maintain a parquet table as the latest
+    version per key seen on the stream — the foreachBatch + MERGE
+    pattern every lakehouse ingestion job runs, composed from this
+    repo's own pieces (operators/merge.merge_upsert + an epoch-staged
+    atomic swap).
+
+    Each micro-batch: (1) dedup the batch to its latest row per key
+    (max version_col); (2) VERSION-AWARE merge into the current table
+    snapshot — union + keep the max-version row per key, so a stale row
+    can never overwrite a newer one; (3) write the merged table to a
+    staging dir and swap via two renames (same recovery contract as
+    sources/maintenance.compact_parquet). Replaying ANY epoch — the
+    last one, an old one, or the whole stream (at-least-once source,
+    crash recovery) — is therefore a strict no-op, not merely
+    eventually-convergent. On a cluster with a transactional format,
+    steps (2)/(3) collapse to one MERGE INTO ... WHEN MATCHED AND
+    source.version > target.version.
+
+    Scale note: the merge rewrites the table per epoch — correct and
+    atomic, but write amplification grows with table size; a real
+    deployment partitions the target (rewrite only touched partitions)
+    or uses the lakehouse MERGE. Bounded local streams are the test
+    harness here.
+    """
+    import os
+
+    from pyspark.sql.window import Window as W
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = W.partitionBy(key).orderBy(F.desc(version_col))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(target_dir):
+            # Version-aware upsert: new rows win ties (_src 1 > 0) but
+            # never beat a strictly newer current row.
+            current = spark.read.parquet(target_dir)
+            vw = W.partitionBy(key).orderBy(F.desc(version_col), F.desc("_src"))
+            merged = (
+                current.withColumn("_src", F.lit(0))
+                .unionByName(latest.withColumn("_src", F.lit(1)))
+                .withColumn("_rn", F.row_number().over(vw))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+        else:
+            merged = latest
+        tmp = target_dir.rstrip("/") + "._upsert_tmp"
+        old = target_dir.rstrip("/") + "._upsert_old"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        jold = jvm.org.apache.hadoop.fs.Path(old)
+        fs.delete(jold, True)
+        if fs.exists(jpath) and not fs.rename(jpath, jold):
+            raise IOError(f"stream_upsert: could not move {target_dir} aside")
+        if not fs.rename(jtmp, jpath):
+            fs.rename(jold, jpath)
+            raise IOError(f"stream_upsert: could not promote {tmp}")
+        fs.delete(jold, True)
+
+    q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> None:
     """Drive a (bounded) streaming query to completion synchronously."""
     q = (
