@@ -203,3 +203,75 @@ def bfs_distances(
     ed.unpersist()
     nodes.unpersist()
     return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Single-source(-set) shortest paths with non-negative integer edge
+    weights: ``rounds`` Bellman-Ford min-plus supersteps on the same
+    chassis as ``bfs_distances`` (the unweighted special case, w = 1).
+    ``edges``: DataFrame[src, dst, w] (w coerced to long). Unreached
+    nodes get distance -1; after r rounds distances are exact for all
+    shortest paths of <= r edges (the oracle unrolls the identical round
+    count, so the comparison holds at any r).
+
+    Returns DataFrame[id long, dist long].
+    """
+    spark = edges.sparkSession
+    ed_raw = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).persist()
+    if partitions is None:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = max(1, min(cap, -(-ed_raw.count() // 75_000)))
+
+    ed = ed_raw.repartition(partitions, "src").persist()
+    nodes = (
+        ed.select(F.col("src").alias("id"))
+        .unionByName(ed.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(partitions, "id")
+        .persist()
+    )
+    nodes.count()
+
+    src_ids = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .join(nodes, "id", "left_semi")
+    )
+    if src_ids.first() is None:
+        ed.unpersist()
+        nodes.unpersist()
+        raise ValueError("SSSP source set has no ids present in the graph")
+    dist = cut_lineage(
+        nodes.join(src_ids.withColumn("d0", F.lit(0)), "id", "left").select(
+            "id", F.coalesce("d0", F.lit(-1)).cast("long").alias("dist")
+        )
+    )
+    for _ in range(rounds):
+        reached = dist.filter(F.col("dist") >= 0)
+        relax = (
+            reached.join(ed, reached.id == ed.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        dist = cut_lineage(
+            dist.join(relax, "id", "left").select(
+                "id",
+                F.when(
+                    F.col("dist") < 0, F.coalesce("cand", F.lit(-1))
+                )
+                .otherwise(F.least(F.col("dist"), F.coalesce("cand", F.col("dist"))))
+                .cast("long")
+                .alias("dist"),
+            )
+        )
+    ed_raw.unpersist()
+    ed.unpersist()
+    nodes.unpersist()
+    return dist

@@ -457,6 +457,53 @@ COMMON_NEIGHBORS_SQL = f"""
 """
 
 
+SSSP_ROUNDS = 4
+
+
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (min total lineitem-count cost) from the
+    BFS source customers over the symmetrized interaction graph —
+    Bellman-Ford min-plus supersteps (graph/algorithms.sssp_weighted) on
+    the BFS chassis; the oracle unrolls the identical round count, so
+    exactness-within-4-edges holds on both engines by construction.
+    Integer weights end-to-end: no float accumulation."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import sssp_weighted
+
+    e = weighted_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    sources = e.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
+    return sssp_weighted(sym, sources, rounds=SSSP_ROUNDS)
+
+
+def _sssp_oracle_sql(rounds: int = SSSP_ROUNDS) -> str:
+    base = f"""WITH we AS MATERIALIZED ({WEDGES_SQL}),
+wsym AS MATERIALIZED (
+  SELECT src, dst, CAST(w AS BIGINT) AS w FROM we
+  UNION ALL
+  SELECT dst AS src, src AS dst, CAST(w AS BIGINT) AS w FROM we
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM wsym),
+srcs AS (SELECT DISTINCT src AS id FROM we WHERE src <= {BFS_SOURCE_MAX}),
+d0 AS MATERIALIZED (SELECT n.id,
+   CAST(CASE WHEN n.id IN (SELECT id FROM srcs) THEN 0 ELSE -1 END AS BIGINT) AS dist
+   FROM nodes n)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f""",
+r{i} AS MATERIALIZED (SELECT e.dst AS id, MIN(d.dist + e.w) AS cand
+     FROM d{p} d JOIN wsym e ON d.id = e.src WHERE d.dist >= 0 GROUP BY e.dst),
+d{i} AS MATERIALIZED (SELECT d.id,
+     CAST(CASE WHEN d.dist < 0 THEN COALESCE(r.cand, -1)
+          ELSE LEAST(d.dist, COALESCE(r.cand, d.dist)) END AS BIGINT) AS dist
+     FROM d{p} d LEFT JOIN r{i} r ON d.id = r.id)"""
+        )
+    return base + "".join(steps) + f"\nSELECT id, dist FROM d{rounds}"
+
+
 SCC_ROUNDS = 5  # closure covers paths up to 2^5 hops — both engines
 # unroll the SAME round count, so the (complete on this graph's
 # diameter) closure is identical by construction.
@@ -585,6 +632,7 @@ QUERIES = {
     "graph_hits": q_hits,
     "graph_common_neighbors": q_common_neighbors,
     "graph_scc": q_scc,
+    "graph_sssp_weighted": q_sssp_weighted,
 }
 
 ORACLES = {
@@ -615,6 +663,7 @@ ORACLES = {
     "graph_personalized_pagerank": _ppr_oracle_sql(),
     "graph_common_neighbors": COMMON_NEIGHBORS_SQL,
     "graph_scc": _scc_oracle_sql(),
+    "graph_sssp_weighted": _sssp_oracle_sql(),
 }
 
 # Import placed late to keep the oracle builders' reading order; the

@@ -60,3 +60,33 @@ def test_bfs_multiple_sources_take_min(spark):
     srcs = spark.createDataFrame([(1,), (9,)], "id LONG")
     got = {r.id: r.dist for r in bfs_distances(e, srcs, max_hops=3).collect()}
     assert got == {1: 0, 2: 1, 3: 1, 9: 0}
+
+
+def test_sssp_unit_weights_equals_bfs(spark):
+    from page_rank_mapreduce_java_spark.graph.algorithms import (
+        bfs_distances,
+        sssp_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (0, 10)],
+        "src LONG, dst LONG",
+    )
+    sources = spark.createDataFrame([(0,)], "src LONG")
+    bfs = {(r.id, r.dist) for r in bfs_distances(edges, sources, max_hops=4).collect()}
+    w1 = edges.withColumn("w", F.lit(1))
+    got = {(r.id, r.dist) for r in sssp_weighted(w1, sources, rounds=4).collect()}
+    assert got == bfs
+
+
+def test_sssp_prefers_cheaper_longer_path(spark):
+    from page_rank_mapreduce_java_spark.graph.algorithms import sssp_weighted
+
+    # 0 -> 3 direct costs 10; 0 -> 1 -> 2 -> 3 costs 3.
+    edges = spark.createDataFrame(
+        [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)],
+        "src LONG, dst LONG, w LONG",
+    )
+    sources = spark.createDataFrame([(0,)], "src LONG")
+    got = {(r.id, r.dist) for r in sssp_weighted(edges, sources, rounds=4).collect()}
+    assert (3, 3) in got and (2, 2) in got and (1, 1) in got and (0, 0) in got
