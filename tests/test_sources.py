@@ -176,3 +176,48 @@ def test_compact_parquet_reduces_files_and_preserves_data(spark):
         assert back.count() == 10_000
         assert sorted(r.id for r in back.select("id").collect()) == list(range(10_000))
         assert glob.glob(f"{d}/*_compact_*") == []
+
+
+def test_compact_parquet_preserves_evolved_schema(spark):
+    """ADVICE r2 (medium): compacting a table evolved by append_parquet
+    must keep columns present only in newer files — a plain read would
+    take one arbitrary footer's schema and silently drop them."""
+    from page_rank_mapreduce_java_spark.sources.maintenance import (
+        append_parquet,
+        compact_parquet,
+        read_parquet_evolving,
+    )
+
+    v1 = spark.createDataFrame([(1, "a")], "id long, tag string")
+    v2 = spark.createDataFrame([(2, "b", 7.5)], "id long, tag string, score double")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        v1.write.parquet(path)
+        append_parquet(v2, path)
+        compact_parquet(spark, path, target_partition_bytes=1 << 30)
+        back = read_parquet_evolving(spark, path)
+        assert set(back.columns) == {"id", "tag", "score"}
+        rows = {r.id: (r.tag, r.score) for r in back.collect()}
+        assert rows[1] == ("a", None) and rows[2] == ("b", 7.5)
+
+
+def test_recover_compaction_restores_stranded_table(spark):
+    import os
+    import shutil
+
+    from page_rank_mapreduce_java_spark.sources.maintenance import (
+        recover_compaction,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t"
+        df.write.parquet(path)
+        # Healthy table: recovery is a no-op.
+        assert recover_compaction(spark, path) is False
+        # Simulate a crash between the two swap renames.
+        shutil.move(path, path + "._compact_old")
+        assert not os.path.exists(path)
+        assert recover_compaction(spark, path) is True
+        assert {r.id for r in spark.read.parquet(path).collect()} == {1, 2}
+        assert not os.path.exists(path + "._compact_old")
