@@ -512,6 +512,69 @@ DQ_SKEW_SQL = """
 """
 
 
+# --- MERGE emulation, certified ----------------------------------------------
+
+
+def q_merge_upsert_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-INTO emulation (operators/merge.merge_upsert) under the
+    oracle: a corrections batch (every 10th order, price bumped one
+    cent) upserted into the orders snapshot. Relationally the result is
+    a CASE expression — which is exactly what the oracle states, so the
+    anti-join + union path is value-certified, not just unit-tested."""
+    from page_rank_mapreduce_java_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    corrections = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    return merge_upsert(o, corrections, "o_orderkey")
+
+
+MERGE_UPSERT_SQL = f"""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 10 = 0 THEN {cents_sql('o_totalprice')} + 1
+                ELSE {cents_sql('o_totalprice')} END AS BIGINT) AS cents
+    FROM orders
+"""
+
+
+def q_merge_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (operators/merge.merge_scd2) under the oracle: batch 1
+    restates every 10th order; history keeps both versions with
+    is_current on the latest. All-integer output."""
+    from page_rank_mapreduce_java_spark.operators.merge import merge_scd2
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        _cents("o_totalprice").alias("cents"),
+        F.lit(0).cast("long").alias("batch"),
+    )
+    restated = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("cents") + 1).alias("cents"),
+        F.lit(1).cast("long").alias("batch"),
+    )
+    return merge_scd2(o, restated, "o_orderkey", "batch")
+
+
+MERGE_SCD2_SQL = f"""
+    WITH history AS (
+      SELECT o_orderkey, {cents_sql('o_totalprice')} AS cents,
+             CAST(0 AS BIGINT) AS batch
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, {cents_sql('o_totalprice')} + 1, CAST(1 AS BIGINT)
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, CAST(cents AS BIGINT) AS cents, batch,
+           CAST(row_number() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) = 1
+                AS BIGINT) AS is_current
+    FROM history
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": q_events_funnel_conversion,
     "join_salted_nation_revenue": q_join_salted_nation_revenue,
@@ -523,6 +586,8 @@ QUERIES = {
     "events_volume_anomalies": q_events_volume_anomalies,
     "events_ewma_value": q_events_ewma_value,
     "dq_join_key_skew": q_dq_join_key_skew,
+    "merge_upsert_corrections": q_merge_upsert_corrections,
+    "merge_scd2_versions": q_merge_scd2_versions,
 }
 
 ORACLES = {
@@ -536,4 +601,6 @@ ORACLES = {
     "events_volume_anomalies": VOLUME_ANOMALIES_SQL,
     "events_ewma_value": _ewma_sql(),
     "dq_join_key_skew": DQ_SKEW_SQL,
+    "merge_upsert_corrections": MERGE_UPSERT_SQL,
+    "merge_scd2_versions": MERGE_SCD2_SQL,
 }
