@@ -46,11 +46,67 @@ def _build_parser() -> argparse.ArgumentParser:
     ins.add_argument("--input", required=True)
     ins.add_argument("--k", type=int, required=True)
     ins.add_argument("--output", required=True)
+
+    q = sub.add_parser(
+        "query", help="run any registered engine query over a table directory"
+    )
+    q.add_argument("name", help="query name (see list-queries)")
+    q.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="directory holding the parquet tables",
+    )
+    q.add_argument("--output", default=None, help="parquet output dir (default: show)")
+    q.add_argument(
+        "--show", type=int, default=20, help="rows to print when no --output"
+    )
+
+    sub.add_parser("list-queries", help="list all registered query names")
     return p
+
+
+def _registry():
+    """The full query registry, without importing the driver entry file
+    (same modules, so `cli query X` runs exactly what the gate checks)."""
+    from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
+    from page_rank_mapreduce_java_spark.functions import text_queries
+    from page_rank_mapreduce_java_spark.graph import queries as graph_queries
+    from page_rank_mapreduce_java_spark.operators import (
+        relational,
+        relational2,
+        relational3,
+        relational4,
+        relational5,
+        relational6,
+    )
+    from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
+    from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
+
+    q = {}
+    for m in (
+        graph_queries,
+        relational,
+        relational2,
+        relational3,
+        relational4,
+        relational5,
+        relational6,
+        dedup_queries,
+        sim_queries,
+        text_queries,
+        stream_queries,
+    ):
+        q.update(m.QUERIES)
+    return q
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.cmd == "list-queries":
+        for name in sorted(_registry()):
+            print(name)
+        return 0
 
     from pyspark.sql import functions as F
 
@@ -100,6 +156,17 @@ def main(argv: list[str] | None = None) -> int:
         edges = read_edge_csv(spark, args.input)
         write_state_text(reference_init_state(edges, args.k), args.output)
         print(f"init-state: k={args.k} -> {args.output}")
+    elif args.cmd == "query":
+        registry = _registry()
+        if args.name not in registry:
+            print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+            return 1
+        df = registry[args.name](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"query {args.name}: -> {args.output}")
+        else:
+            df.show(args.show, truncate=False)
     return 0
 
 

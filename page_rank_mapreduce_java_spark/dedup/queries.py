@@ -599,6 +599,86 @@ def _passages_sql() -> str:
 """
 
 
+EMB_CC_ITERS = 4
+
+
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clustering end-to-end: (label, sign-LSH
+    bucket) candidate pairs at cosine ≥ 0.8 → connected components over
+    the pair graph → every vector assigned a cluster id (min vec_id;
+    singletons are their own cluster), ``is_dup`` marking non-canonical
+    members — the vector-modality mirror of ``dedup_clusters``.
+
+    Scale: identical argument — components run on candidate-pair
+    volume (LSH collisions above threshold), never corpus volume; the
+    final assignment is one left join against the id column only."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import connected_components
+    from page_rank_mapreduce_java_spark.similarity.ann import lsh_bucket_col
+
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .withColumn("bkt", lsh_bucket_col("embedding", n_planes=EMB_LSH_PLANES))
+        .persist()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.8)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+    comp = connected_components(pairs, max_iterations=EMB_CC_ITERS)
+    vids = load_table(spark, "embeddings", sf_dir).select("vec_id")
+    return (
+        vids.join(comp, vids.vec_id == comp.id, "left")
+        .select("vec_id", F.coalesce("component", F.col("vec_id")).alias("cluster"))
+        .withColumn("is_dup", (F.col("vec_id") != F.col("cluster")).cast("long"))
+    )
+
+
+def _emb_clusters_sql(iters: int = EMB_CC_ITERS) -> str:
+    from page_rank_mapreduce_java_spark.similarity.ann import lsh_buckets_sql
+
+    base = f"""WITH e AS MATERIALIZED (
+      SELECT vec_id, label, embedding,
+             {lsh_buckets_sql(n_planes=EMB_LSH_PLANES)} AS bkt
+      FROM embeddings
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM e a JOIN e b
+        ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.8
+    ),
+    sym AS MATERIALIZED (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    l0 AS (SELECT id, id AS component FROM (SELECT DISTINCT src AS id FROM sym))"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(
+            f""",
+    n{i} AS MATERIALIZED (SELECT s.dst AS id, MIN(l.component) AS nbr
+         FROM l{p} l JOIN sym s ON l.id = s.src GROUP BY s.dst),
+    l{i} AS MATERIALIZED (SELECT l.id,
+         LEAST(l.component, COALESCE(n.nbr, l.component)) AS component
+         FROM l{p} l LEFT JOIN n{i} n ON l.id = n.id)"""
+        )
+    return (
+        base
+        + "".join(steps)
+        + f"""
+    SELECT v.vec_id,
+           CAST(COALESCE(l.component, v.vec_id) AS BIGINT) AS cluster,
+           CAST(COALESCE(l.component, v.vec_id) <> v.vec_id AS BIGINT) AS is_dup
+    FROM embeddings v LEFT JOIN l{iters} l ON v.vec_id = l.id"""
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
@@ -610,6 +690,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_clusters": q_dedup_clusters,
     "dedup_passages": q_dedup_passages,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
 }
 
 ORACLES = {
@@ -628,4 +709,5 @@ ORACLES = {
     "dedup_embedding_cosine": EMB_COSINE_SQL,
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_passages": _passages_sql(),
+    "embedding_dup_clusters": _emb_clusters_sql(),
 }

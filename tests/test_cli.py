@@ -1,0 +1,66 @@
+"""CLI surface: every subcommand drives end-to-end (SURVEY.md §2.10 C4)."""
+
+from __future__ import annotations
+
+import glob
+
+from page_rank_mapreduce_java_spark.cli import _registry, main
+
+
+def test_list_queries_matches_registry(capsys):
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out.split()
+    assert sorted(out) == sorted(_registry())
+    assert len(out) >= 148
+
+
+def test_query_unknown_name_fails(capsys):
+    assert main(["query", "no_such_query"]) == 1
+    assert "list-queries" in capsys.readouterr().err
+
+
+def test_query_runs_and_writes_parquet(spark, tmp_path):
+    out = str(tmp_path / "res")
+    assert (
+        main(
+            [
+                "query",
+                "dq_fk_violations",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+                "--output",
+                out,
+            ]
+        )
+        == 0
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert {r.n_orphans for r in back.collect()} == {0}
+
+
+def test_chaingen_then_pagerank_text(spark, tmp_path):
+    graph = str(tmp_path / "graph")
+    ranks = str(tmp_path / "ranks")
+    assert main(["chaingen", "--k", "3", "--output", graph]) == 0
+    assert (
+        main(
+            [
+                "pagerank",
+                "--input",
+                graph,
+                "--output",
+                ranks,
+                "--iterations",
+                "2",
+                "--text-format",
+            ]
+        )
+        == 0
+    )
+    lines = []
+    for f in glob.glob(f"{ranks}/part-*"):
+        lines += open(f).read().splitlines()
+    # k=3 chains: 9 chain nodes + sink 0
+    assert len(lines) == 10
+    assert all("," in ln for ln in lines)
