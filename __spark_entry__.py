@@ -89,42 +89,13 @@ def _audit_order(q: dict, o: dict) -> list[str]:
 
 
 def _registry() -> tuple[dict, dict]:
-    from page_rank_mapreduce_java_spark.graph import queries as graph_queries
-    from page_rank_mapreduce_java_spark.operators import (
-        relational,
-        relational2,
-        relational3,
-        relational4,
-        relational5,
-        relational6,
-    )
-    from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
-    from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
-    from page_rank_mapreduce_java_spark.functions import text_queries
-    from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
+    # One aggregation point for the whole engine (CLI included):
+    # page_rank_mapreduce_java_spark.cli.full_registry. Import errors
+    # propagate — silently shrinking the registry would make the
+    # correctness gate pass on fewer queries without anyone noticing.
+    from page_rank_mapreduce_java_spark.cli import full_registry
 
-    # Import errors must propagate: silently shrinking the registry would
-    # make the correctness gate pass on fewer queries without anyone
-    # noticing.
-    modules = [
-        graph_queries,
-        relational,
-        relational2,
-        relational3,
-        relational4,
-        relational5,
-        relational6,
-        dedup_queries,
-        sim_queries,
-        text_queries,
-        stream_queries,
-    ]
-
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    o: dict[str, str] = {}
-    for m in modules:
-        q.update(m.QUERIES)
-        o.update(m.ORACLES)
+    q, o = full_registry()
     order = _audit_order(q, o)
     return {n: q[n] for n in order}, {n: o[n] for n in order if n in o}
 

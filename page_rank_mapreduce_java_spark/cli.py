@@ -65,9 +65,14 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _registry():
-    """The full query registry, without importing the driver entry file
-    (same modules, so `cli query X` runs exactly what the gate checks)."""
+def full_registry() -> tuple[dict, dict]:
+    """THE aggregation point for (QUERIES, ORACLES) across all query
+    modules — `cli query X` and the driver contract
+    (`__spark_entry__._registry`) both read from here, so a module can
+    never be registered in one surface and silently missing from the
+    other. Import errors must propagate: silently shrinking the
+    registry would make the correctness gate pass on fewer queries
+    without anyone noticing."""
     from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
     from page_rank_mapreduce_java_spark.functions import text_queries
     from page_rank_mapreduce_java_spark.graph import queries as graph_queries
@@ -82,7 +87,8 @@ def _registry():
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
 
-    q = {}
+    q: dict = {}
+    o: dict = {}
     for m in (
         graph_queries,
         relational,
@@ -97,7 +103,12 @@ def _registry():
         stream_queries,
     ):
         q.update(m.QUERIES)
-    return q
+        o.update(m.ORACLES)
+    return q, o
+
+
+def _registry():
+    return full_registry()[0]
 
 
 def main(argv: list[str] | None = None) -> int:
