@@ -51,3 +51,73 @@ def test_identical_texts_share_minhash_signature(spark, text):
     rows = {r.doc_id: tuple(r)[1:] for r in sig.collect()}
     if rows:  # all-space texts produce no shingles
         assert rows.get(1) == rows.get(2)
+
+
+rows_with_groups = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # low-cardinality partition key
+        st.integers(-50, 50),       # order value (negatives + heavy ties)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_with_groups)
+def test_scalable_rank_family_matches_windows_on_arbitrary_data(spark, rows):
+    """global_cume_dist / global_percent_rank must equal the naive
+    single-task window forms on any distribution — negatives, all-ties,
+    single-row partitions included."""
+    from pyspark.sql.window import Window
+
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        global_cume_dist,
+        global_percent_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id LONG, g LONG, v LONG"
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    want_cd = {
+        (r.id, round(r.cd, 9))
+        for r in df.withColumn("cd", F.cume_dist().over(w)).collect()
+    }
+    got_cd = {
+        (r.id, round(r.cd, 9))
+        for r in global_cume_dist(df, "g", "v", [F.asc("id")], out_col="cd").collect()
+    }
+    assert got_cd == want_cd
+    want_pr = {
+        (r.id, round(r.pr, 9))
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    got_pr = {
+        (r.id, round(r.pr, 9))
+        for r in global_percent_rank(df, "g", "v", [F.asc("id")], out_col="pr").collect()
+    }
+    assert got_pr == want_pr
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_with_groups, radius=st.integers(1, 30))
+def test_banded_range_count_matches_window_on_arbitrary_data(spark, rows, radius):
+    from pyspark.sql.window import Window
+
+    from page_rank_mapreduce_java_spark.operators.ranking import banded_range_count
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id LONG, g LONG, v LONG"
+    )
+    w = Window.partitionBy("g").orderBy("v").rangeBetween(-radius, radius)
+    want = {
+        (r.id, r.n) for r in df.withColumn("n", F.count(F.lit(1)).over(w)).collect()
+    }
+    got = {
+        (r.id, r.n)
+        for r in banded_range_count(
+            df, ["g"], F.col("v"), radius=radius, out_col="n", chunk_radii=2
+        ).collect()
+    }
+    assert got == want
