@@ -679,6 +679,68 @@ def _emb_clusters_sql(iters: int = EMB_CC_ITERS) -> str:
     )
 
 
+def q_dq_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise mining: the 1-nearest-neighbor confusion matrix over
+    the embedding corpus — (label, nn_label, n) counts of vectors whose
+    closest same-bucket neighbor carries each label. Off-diagonal mass
+    flags candidate mislabels (the confident-learning signal a training
+    pipeline reviews before fitting).
+
+    Scale shape: candidates come from the sign-LSH bucket equi-join
+    (never all-pairs); the arg-max neighbor is a per-vec_id window —
+    high-cardinality partitioning; the confusion rollup is tiny.
+    Cosine ties break on neighbor vec_id, so the 1-NN choice is
+    deterministic on both engines."""
+    from page_rank_mapreduce_java_spark.similarity.ann import lsh_bucket_col
+
+    e = (
+        load_table(spark, "embeddings", sf_dir)
+        .withColumn("bkt", lsh_bucket_col("embedding", n_planes=EMB_LSH_PLANES))
+        .persist()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cand = a.join(
+        b,
+        (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vid"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("nid"),
+        F.col("b.label").alias("nn_label"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("nid"))
+    nn = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return nn.groupBy("label", "nn_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _label_noise_sql() -> str:
+    from page_rank_mapreduce_java_spark.similarity.ann import lsh_buckets_sql
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label, embedding,
+             {lsh_buckets_sql(n_planes=EMB_LSH_PLANES)} AS bkt
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vid, a.label AS label,
+             b.vec_id AS nid, b.label AS nn_label,
+             {cosine_sql('a.embedding', 'b.embedding')} AS cos
+      FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT vid, label, nn_label,
+             row_number() OVER (PARTITION BY vid ORDER BY cos DESC, nid) AS rn
+      FROM cand
+    )
+    SELECT label, nn_label, COUNT(*) AS n
+    FROM nn WHERE rn = 1 GROUP BY label, nn_label
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
@@ -691,6 +753,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_passages": q_dedup_passages,
     "embedding_dup_clusters": q_embedding_dup_clusters,
+    "dq_label_noise": q_dq_label_noise,
 }
 
 ORACLES = {
@@ -710,4 +773,5 @@ ORACLES = {
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_passages": _passages_sql(),
     "embedding_dup_clusters": _emb_clusters_sql(),
+    "dq_label_noise": _label_noise_sql(),
 }
