@@ -575,6 +575,62 @@ MERGE_SCD2_SQL = f"""
 """
 
 
+# --- interval overlap join ----------------------------------------------------
+
+ORDER_ACTIVE_DAYS = 7
+INTERVAL_CHUNK_DAYS = 16
+
+
+def q_interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: pairs of orders whose 7-day active windows overlap
+    (concurrently-open orders), via the chunked interval-overlap join
+    (operators/intervals.py) — candidate pairing is an equi-join on
+    (custkey, 16-day chunk) with arithmetic pair dedup, never a
+    per-customer nested loop. Day arithmetic in exact integer epoch
+    days. Output: (o_custkey, n_pairs, total_overlap_days)."""
+    from page_rank_mapreduce_java_spark.operators.intervals import (
+        interval_self_overlap_pairs,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1990-01-01")).cast("long").alias("d0"),
+    )
+    pairs = interval_self_overlap_pairs(
+        o,
+        ["o_custkey"],
+        "o_orderkey",
+        start=F.col("d0"),
+        end=F.col("d0") + ORDER_ACTIVE_DAYS,
+        chunk_width=INTERVAL_CHUNK_DAYS,
+    )
+    return pairs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap_len").alias("total_overlap_days"),
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS d0
+      FROM orders
+    )
+    SELECT a.o_custkey, COUNT(*) AS n_pairs,
+           CAST(SUM(
+             LEAST(a.d0 + {ORDER_ACTIVE_DAYS}, b.d0 + {ORDER_ACTIVE_DAYS})
+             - GREATEST(a.d0, b.d0)
+           ) AS BIGINT) AS total_overlap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.d0 < b.d0 + {ORDER_ACTIVE_DAYS}
+     AND b.d0 < a.d0 + {ORDER_ACTIVE_DAYS}
+    GROUP BY a.o_custkey
+"""
+
+
 QUERIES = {
     "events_funnel_conversion": q_events_funnel_conversion,
     "join_salted_nation_revenue": q_join_salted_nation_revenue,
@@ -588,6 +644,7 @@ QUERIES = {
     "dq_join_key_skew": q_dq_join_key_skew,
     "merge_upsert_corrections": q_merge_upsert_corrections,
     "merge_scd2_versions": q_merge_scd2_versions,
+    "interval_overlap_orders": q_interval_overlap_orders,
 }
 
 ORACLES = {
@@ -603,4 +660,5 @@ ORACLES = {
     "dq_join_key_skew": DQ_SKEW_SQL,
     "merge_upsert_corrections": MERGE_UPSERT_SQL,
     "merge_scd2_versions": MERGE_SCD2_SQL,
+    "interval_overlap_orders": INTERVAL_OVERLAP_SQL,
 }

@@ -121,3 +121,60 @@ def test_banded_range_count_matches_window_on_arbitrary_data(spark, rows, radius
         ).collect()
     }
     assert got == want
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(0, 1),            # key
+        st.integers(-40, 40),         # start
+        st.integers(0, 50),           # span (0 -> empty, filtered out)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=intervals, chunk=st.integers(2, 12))
+def test_interval_overlap_matches_naive_join(spark, rows, chunk):
+    """Chunked interval self-overlap must equal the naive quadratic join
+    on arbitrary intervals — negative starts, spans far exceeding the
+    chunk width (multi-chunk replication + arithmetic dedup), empties."""
+    from page_rank_mapreduce_java_spark.operators.intervals import (
+        interval_self_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, s, s + span) for i, (k, s, span) in enumerate(rows)],
+        "rid LONG, k LONG, s LONG, e LONG",
+    )
+    got = {
+        (r.k, r.a_rid, r.b_rid, r.overlap_len)
+        for r in interval_self_overlap_pairs(
+            df, ["k"], "rid", F.col("s"), F.col("e"), chunk_width=chunk
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.rid") < F.col("b.rid"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e"))
+            & (F.col("a.e") > F.col("a.s"))
+            & (F.col("b.e") > F.col("b.s")),
+        )
+        .select(
+            F.col("a.k").alias("k"),
+            F.col("a.rid").alias("a_rid"),
+            F.col("b.rid").alias("b_rid"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("ol"),
+        )
+        .collect()
+    )
+    want = {(r.k, r.a_rid, r.b_rid, r.ol) for r in naive}
+    assert got == want
