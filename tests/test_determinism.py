@@ -1,0 +1,63 @@
+"""Partition-count invariance: results must not depend on parallelism.
+
+The engine's core distributed-correctness claim is that every registered
+query is deterministic under re-partitioning — no order-dependent float
+accumulation, no position-dependent sampling, no nondeterministic
+tie-breaks. This is what lets the same code run on local[32] and a
+1000-executor cluster and hash-match the oracle either way. The test
+re-runs a representative query slice under very different
+spark.sql.shuffle.partitions settings and requires identical rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# A slice spanning the riskiest determinism classes: iterative float
+# arithmetic (pagerank), two-pass global ranking (cume_dist, kmv),
+# hash sketches + self-joins (minhash pairs, simhash), window lags
+# (ewma), closure iteration (scc), chunked interval join, and an
+# integer TPC-H aggregate.
+QUERIES_UNDER_TEST = [
+    "graph_pagerank",
+    "window_cume_dist",
+    "agg_kmv_distinct",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "events_ewma_value",
+    "graph_scc",
+    "interval_overlap_orders",
+    "q1_pricing_summary",
+]
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_result_invariant_under_shuffle_partition_count(spark, name):
+    import __spark_entry__ as entrymod
+    from page_rank_mapreduce_java_spark.graph.queries import _RANKS_CACHE
+
+    q = entrymod.queries()[name]
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            # The rank-vector memo would short-circuit the re-run.
+            _RANKS_CACHE.clear()
+            spark.catalog.clearCache()
+            results.append(_canon(q(spark, SF_DIR)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+        _RANKS_CACHE.clear()
+        spark.catalog.clearCache()
+    assert results[0] == results[1], (
+        f"{name}: result depends on shuffle partition count"
+    )
