@@ -575,6 +575,43 @@ MERGE_SCD2_SQL = f"""
 """
 
 
+# --- robust dispersion: exact integer MAD -------------------------------------
+
+
+def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type, EXACTLY: working in
+    doubled cents keeps every median (interpolated midpoint at even
+    counts = x.5) integer-valued, so med2 = 2·median(cents) and
+    mad4 = 4·MAD(cents) are pure BIGINTs — the robust dispersion
+    statistic with zero cross-engine float risk. Two aggregates over the
+    fact plus one broadcast join of the 5-row median table."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_type", _cents("value").alias("c")
+    )
+    med = e.groupBy("event_type").agg(
+        (F.median("c") * 2).cast("long").alias("med2")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med2", F.abs(F.col("c") * 2 - F.col("med2")).alias("d2")
+    )
+    return dev.groupBy("event_type", "med2").agg(
+        (F.median("d2") * 2).cast("long").alias("mad4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+MAD_SQL = f"""
+    WITH c AS (SELECT event_type, {cents_sql('value')} AS c FROM events),
+    m AS (SELECT event_type, CAST(median(c) * 2 AS BIGINT) AS med2
+          FROM c GROUP BY event_type),
+    d AS (SELECT c.event_type, m.med2, ABS(c.c * 2 - m.med2) AS d2
+          FROM c JOIN m ON c.event_type = m.event_type)
+    SELECT event_type, med2, CAST(median(d2) * 2 AS BIGINT) AS mad4,
+           COUNT(*) AS n
+    FROM d GROUP BY event_type, med2
+"""
+
+
 # --- interval overlap join ----------------------------------------------------
 
 ORDER_ACTIVE_DAYS = 7
@@ -645,6 +682,7 @@ QUERIES = {
     "merge_upsert_corrections": q_merge_upsert_corrections,
     "merge_scd2_versions": q_merge_scd2_versions,
     "interval_overlap_orders": q_interval_overlap_orders,
+    "agg_mad_robust": q_agg_mad_robust,
 }
 
 ORACLES = {
@@ -661,4 +699,5 @@ ORACLES = {
     "merge_upsert_corrections": MERGE_UPSERT_SQL,
     "merge_scd2_versions": MERGE_SCD2_SQL,
     "interval_overlap_orders": INTERVAL_OVERLAP_SQL,
+    "agg_mad_robust": MAD_SQL,
 }
