@@ -62,6 +62,8 @@ HEADLINE = [
     "agg_kmv_distinct",
     "graph_common_neighbors",
     "window_percent_rank",
+    "interval_overlap_orders",
+    "events_retention_cohorts",
 ]
 
 
