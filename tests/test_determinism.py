@@ -28,6 +28,16 @@ QUERIES_UNDER_TEST = [
     "graph_scc",
     "interval_overlap_orders",
     "q1_pricing_summary",
+    # second wave: clustering, peeling, as-of ordering, content-keyed
+    # split, sampling, funnel, stratified windows, robust stats
+    "dedup_clusters",
+    "graph_kcore",
+    "join_asof_latest_order",
+    "text_train_split",
+    "sample_stratified_orders",
+    "events_funnel_conversion",
+    "window_percent_rank",
+    "agg_mad_robust",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
