@@ -575,6 +575,39 @@ MERGE_SCD2_SQL = f"""
 """
 
 
+# --- Z-order layout codes -----------------------------------------------------
+
+
+def q_layout_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes over (custkey, order epoch-day) — the
+    clustering key behind multi-dimensional data skipping
+    (sources/layout.py; lakehouse OPTIMIZE ZORDER BY). Pure integer
+    bit-interleaving, identical on both engines, certifying the exact
+    arithmetic the clustered writer sorts by."""
+    from page_rank_mapreduce_java_spark.sources.layout import morton_interleave16
+
+    o = load_table(spark, "orders", sf_dir)
+    x = F.col("o_custkey").bitwiseAND(F.lit(0xFFFF))
+    y = (
+        F.datediff("o_orderdate", F.lit("1990-01-01"))
+        .cast("long")
+        .bitwiseAND(F.lit(0xFFFF))
+    )
+    return o.select(
+        "o_orderkey", morton_interleave16(x, y).alias("zcode")
+    )
+
+
+def _morton_sql() -> str:
+    from page_rank_mapreduce_java_spark.sources.layout import morton_interleave16_sql
+
+    z = morton_interleave16_sql(
+        "(o_custkey & 65535)",
+        "((CAST(o_orderdate AS DATE) - DATE '1990-01-01') & 65535)",
+    )
+    return f"SELECT o_orderkey, {z} AS zcode FROM orders"
+
+
 # --- robust dispersion: exact integer MAD -------------------------------------
 
 
@@ -683,6 +716,7 @@ QUERIES = {
     "merge_scd2_versions": q_merge_scd2_versions,
     "interval_overlap_orders": q_interval_overlap_orders,
     "agg_mad_robust": q_agg_mad_robust,
+    "layout_morton_codes": q_layout_morton_codes,
 }
 
 ORACLES = {
@@ -700,4 +734,5 @@ ORACLES = {
     "merge_scd2_versions": MERGE_SCD2_SQL,
     "interval_overlap_orders": INTERVAL_OVERLAP_SQL,
     "agg_mad_robust": MAD_SQL,
+    "layout_morton_codes": _morton_sql(),
 }

@@ -221,3 +221,71 @@ def test_recover_compaction_restores_stranded_table(spark):
         assert recover_compaction(spark, path) is True
         assert {r.id for r in spark.read.parquet(path).collect()} == {1, 2}
         assert not os.path.exists(path + "._compact_old")
+
+
+def test_morton_clustering_bounds_both_dimensions(spark):
+    """Z-order layout: per-partition bounding-box AREA over (x, y) must
+    be far smaller than an x-sorted layout's (which has tight x ranges
+    but full-span y ranges) — the data-skipping property behind
+    OPTIMIZE ZORDER BY. Also pins the morton code itself against a
+    Python-computed reference."""
+    from page_rank_mapreduce_java_spark.sources.layout import (
+        morton_interleave16,
+        write_morton_clustered,
+    )
+
+    n = 4096
+    side = 64  # full 64x64 grid: x = id mod 64, y = id div 64
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+
+    # Python reference for the bit interleave.
+    def py_morton(x, y):
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    sample = df.limit(50).withColumn(
+        "z", morton_interleave16(F.col("x"), F.col("y"))
+    ).collect()
+    for r in sample:
+        assert r.z == py_morton(r.x, r.y)
+
+    def bbox_spread(frame, parts, order_col):
+        boxed = (
+            frame.withColumn("_o", order_col)
+            .repartitionByRange(parts, "_o")
+            .sortWithinPartitions("_o")
+            .withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .agg(
+                (F.max("x") - F.min("x") + 1).alias("rx"),
+                (F.max("y") - F.min("y") + 1).alias("ry"),
+            )
+            .collect()
+        )
+        return max(r.rx for r in boxed), max(r.ry for r in boxed)
+
+    parts = 16
+    # On a uniform grid every layout packs the same AREA; Z-order's win
+    # is bounded spread in BOTH dimensions: an x-sorted file spans the
+    # full y range (zero pruning for y filters), a morton file is a
+    # compact rectangle (~16x16 here), pruning either filter column.
+    x_rx, x_ry = bbox_spread(df, parts, F.col("x") * 65536 + F.col("y"))
+    z_rx, z_ry = bbox_spread(df, parts, morton_interleave16(F.col("x"), F.col("y")))
+    assert x_ry == side, (x_rx, x_ry)  # single-col sort: full y span
+    assert z_rx <= side // 2 and z_ry <= side // 2, (z_rx, z_ry)
+
+    # The writer round-trips with the same row set.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/z"
+        write_morton_clustered(df, path, F.col("x"), F.col("y"), partitions=parts)
+        back = spark.read.parquet(path)
+        assert back.count() == n
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
