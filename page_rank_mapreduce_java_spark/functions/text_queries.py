@@ -404,6 +404,64 @@ def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
+VOCAB_TOP = 200
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the top-200 corpus tokens with rank,
+    count, and cumulative coverage permille — the plot every tokenizer /
+    vocab-size decision starts from. The running sum and ranking operate
+    on the AGGREGATED vocabulary (vocab-sized, thousands of rows), never
+    the token stream, so the global window is safe at any corpus scale;
+    the token explode + count is the only fact-sized stage. Integer
+    permille via div — no float division."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    counts = (
+        d.select(F.explode(words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    w = W.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    rw = W.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("rank") <= VOCAB_TOP)
+    )
+    return ranked.select(
+        "rank",
+        "tok",
+        "n",
+        F.expr("cum * 1000 div _t").alias("coverage_permille"),
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest({WORDS_SQL}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    t AS (SELECT SUM(n) AS total FROM counts),
+    ranked AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, tok, n,
+           CAST(cum * 1000 // total AS BIGINT) AS coverage_permille
+    FROM ranked, t WHERE rank <= {VOCAB_TOP}
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_curation_funnel": q_text_curation_funnel,
@@ -420,6 +478,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_chunks": q_text_chunks,
     "multimodal_blob_stats": q_multimodal_blob_stats,
+    "text_vocab_coverage": q_text_vocab_coverage,
 }
 
 _stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -450,6 +509,7 @@ from page_rank_mapreduce_java_spark.functions.textfn import ngrams_all_sql as _n
 _NG3 = _ngrams_all_sql(WORDS_SQL)
 
 ORACLES = {
+    "text_vocab_coverage": VOCAB_COVERAGE_SQL,
     "text_curation_funnel": f"""
         WITH t AS (
           SELECT source,

@@ -575,6 +575,76 @@ MERGE_SCD2_SQL = f"""
 """
 
 
+# --- equi-depth histogram -----------------------------------------------------
+
+HIST_BUCKETS = 10
+
+
+def q_agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH decile histogram of order price: each bucket holds the
+    same row count (±1) and reports its value boundaries — the quantile
+    summary a query optimizer or data-profiling pass wants, where the
+    equi-WIDTH histogram (agg_value_histogram) leaves dense regions
+    unresolved. Built on the scalable two-pass NTILE
+    (operators/ranking.py), tie-broken on o_orderkey; all-integer
+    output."""
+    from page_rank_mapreduce_java_spark.operators.ranking import global_ntile
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", _cents("o_totalprice").alias("pc")
+    )
+    b = global_ntile(
+        o, HIST_BUCKETS, [F.asc("pc"), F.asc("o_orderkey")], out_col="bucket"
+    )
+    return b.groupBy("bucket").agg(
+        F.min("pc").alias("lo_cents"),
+        F.max("pc").alias("hi_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EQUIDEPTH_SQL = f"""
+    WITH b AS (
+      SELECT ntile({HIST_BUCKETS}) OVER (
+               ORDER BY {cents_sql('o_totalprice')}, o_orderkey) AS bucket,
+             {cents_sql('o_totalprice')} AS pc
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           MIN(pc) AS lo_cents, MAX(pc) AS hi_cents, COUNT(*) AS n
+    FROM b GROUP BY bucket
+"""
+
+
+# --- per-user lifetime rollup -------------------------------------------------
+
+
+def q_events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime rollup: event count, exact total value cents,
+    distinct active days, and lifespan days (last minus first active
+    day) — the base table of any LTV/engagement model. One wide
+    aggregate keyed on user_id; all-integer output."""
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"), _cents("value").alias("vc")
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vc").alias("total_cents"),
+        F.count_distinct("day").alias("active_days"),
+        F.datediff(F.max("day"), F.min("day")).cast("long").alias("lifespan_days"),
+    )
+
+
+USER_LIFETIME_SQL = f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM({cents_sql('value')}) AS BIGINT) AS total_cents,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+             AS lifespan_days
+    FROM events GROUP BY user_id
+"""
+
+
 # --- Z-order layout codes -----------------------------------------------------
 
 
@@ -717,6 +787,8 @@ QUERIES = {
     "interval_overlap_orders": q_interval_overlap_orders,
     "agg_mad_robust": q_agg_mad_robust,
     "layout_morton_codes": q_layout_morton_codes,
+    "agg_equidepth_histogram": q_agg_equidepth_histogram,
+    "events_user_lifetime": q_events_user_lifetime,
 }
 
 ORACLES = {
@@ -735,4 +807,6 @@ ORACLES = {
     "interval_overlap_orders": INTERVAL_OVERLAP_SQL,
     "agg_mad_robust": MAD_SQL,
     "layout_morton_codes": _morton_sql(),
+    "agg_equidepth_histogram": EQUIDEPTH_SQL,
+    "events_user_lifetime": USER_LIFETIME_SQL,
 }
