@@ -49,7 +49,13 @@ def main() -> int:
 
     # Latest driver verdict per query across all recorded rounds.
     verdicts: dict[str, str] = {}
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    # Numeric round sort: lexicographic order breaks once zero-padding is
+    # inconsistent (r4 vs r10), and "latest verdict wins" depends on it.
+    paths = sorted(
+        glob.glob("/root/repo/CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    for path in paths:
         rnd = re.search(r"r(\d+)", path).group(1)
         rows = json.load(open(path))
         for name, res in rows.items():
