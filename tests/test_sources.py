@@ -60,6 +60,17 @@ def test_state_text_reader_roundtrip(spark):
 def test_write_bucketed_join_skips_shuffle(spark):
     from page_rank_mapreduce_java_spark.sources.writers import write_bucketed
 
+    # Self-heal from a prior interrupted run: saveAsTable refuses to reuse a
+    # location left behind after the metastore entry is gone
+    # (LOCATION_ALREADY_EXISTS), so drop both the tables and any orphaned
+    # warehouse directories before writing.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_bucket_a", "t_bucket_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
     a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
     b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
     write_bucketed(a, "t_bucket_a", "k", num_buckets=8)
