@@ -418,28 +418,61 @@ r{i} AS MATERIALIZED (SELECT n.id,
     )
 
 
-def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-25 supplier pairs by common neighbors in the co-occurrence
-    graph (the link-prediction primitive: two suppliers never seen in
-    one order, ranked by how many partners they share).
+# Wedge-center degree cap for common-neighbor counting. The wedge volume
+# is Σ deg(center)² — one celebrity hub breaks it at scale, and pairs whose
+# only evidence is "both touch the hub" carry no link-prediction signal
+# anyway (standard practice: drop hubs before the wedge join). 80 is
+# workload-tuned: exercised by the sf fixtures (max co-occurrence degree 81
+# at sf0.01) while keeping >99% of nodes; at 100 TB the cap is the knob
+# bounding per-center wedge fan-out regardless of corpus size.
+COMMON_NEIGHBORS_DEG_CAP = 80
 
-    Shape: symmetrize the src<dst edge set, wedge-join on the shared
-    endpoint, count per pair — one equi-join + one aggregate, the same
-    m-bounded wedge volume as the triangle counter (graph/motifs.py).
-    At 100 TB the wedge count is dominated by hub nodes (Σ deg²); the
-    standard mitigation is dropping hubs above a degree cap before the
-    join (they carry no link-prediction signal), which composes here as
-    one extra degree filter on ``sym``. Fully tie-broken LIMIT."""
-    e = cooccurrence_edges(spark, sf_dir)
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+
+def common_neighbor_counts(sym: DataFrame, deg_cap: int | None) -> DataFrame:
+    """Common-neighbor counts over a symmetrized edge relation
+    DataFrame[src, dst]: for every unordered pair (u < v), the number of
+    shared neighbors, via the wedge join on the shared endpoint.
+
+    ``deg_cap`` (default-on in q_common_neighbors) removes wedge CENTERS
+    with degree > cap before the join. The degree aggregate and the
+    keep-filter join both key on ``dst`` — the same key the wedge join
+    shuffles on, so AQE reuses one exchange; the cap costs no extra
+    full-data shuffle, and the wedge volume drops from Σ deg² unbounded
+    to Σ min(deg, cap)²."""
+    if deg_cap is not None:
+        keep = (
+            sym.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") <= deg_cap)
+            .select("dst")
+        )
+        sym = sym.join(keep, "dst")
     a, b = sym.alias("a"), sym.alias("b")
     return (
         a.join(b, F.col("a.dst") == F.col("b.dst"))
         .filter(F.col("a.src") < F.col("b.src"))
         .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 supplier pairs by common neighbors in the co-occurrence
+    graph (the link-prediction primitive: two suppliers never seen in
+    one order, ranked by how many partners they share).
+
+    Shape: symmetrize the src<dst edge set, drop wedge centers above
+    COMMON_NEIGHBORS_DEG_CAP (default ON — VERDICT r3 directive #6),
+    wedge-join on the shared endpoint, count per pair — one equi-join +
+    one aggregate, the same m-bounded wedge volume as the triangle
+    counter (graph/motifs.py), now hub-bounded too. The oracle mirrors
+    the identical cap. Fully tie-broken LIMIT."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        common_neighbor_counts(sym, deg_cap=COMMON_NEIGHBORS_DEG_CAP)
         .orderBy(F.desc("n_common"), F.asc("u"), F.asc("v"))
         .limit(25)
     )
@@ -448,9 +481,12 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMMON_NEIGHBORS_SQL = f"""
     WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
     sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    keep AS (SELECT dst FROM sym GROUP BY dst
+             HAVING COUNT(*) <= {COMMON_NEIGHBORS_DEG_CAP}),
+    symc AS (SELECT s.src, s.dst FROM sym s JOIN keep USING (dst)),
     p AS (
       SELECT a.src AS u, b.src AS v, COUNT(*) AS n_common
-      FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+      FROM symc a JOIN symc b ON a.dst = b.dst AND a.src < b.src
       GROUP BY 1, 2
     )
     SELECT u, v, n_common FROM p ORDER BY n_common DESC, u, v LIMIT 25
