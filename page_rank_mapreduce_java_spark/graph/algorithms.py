@@ -275,3 +275,176 @@ def sssp_weighted(
     ed.unpersist()
     nodes.unpersist()
     return dist
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    partitions: int | None = None,
+    max_outer: int = 64,
+    max_inner: int = 256,
+) -> DataFrame:
+    """Strongly connected components via Trim + forward-max coloring +
+    backward confirmation (the FW-BW/coloring family: Fleischer-Hendrickson
+    -Pinar FW-BW, Orzan's coloring, Slota et al.'s Multistep) — the
+    production SCC algorithm at scale, replacing q_scc's doubling closure
+    whose intermediate relation is quadratic in component size (VERDICT r3
+    directive #3). Every relation this loop moves is node- or edge-linear.
+
+    Returns DataFrame[id long, scc_id long] with scc_id = min member id
+    (q_scc's convention), one row per node appearing in ``edges``.
+
+    Per outer round, on the still-unassigned subgraph:
+      1. TRIM to fixpoint: a node with no remaining in-edges or no
+         remaining out-edges is a singleton SCC (classic trim step —
+         most real graphs are dominated by these).
+      2. COLOR forward to fixpoint: color(v) = max id that reaches v
+         (init color = own id; propagate max along edges). Each color
+         class is closed under reachability-from-root, so distinct SCCs
+         sharing a color are impossible unless the root can reach them.
+      3. CONFIRM backward within color: starting from each root
+         (color(v) == v), walk edges BACKWARD restricted to same-color
+         nodes; confirmed nodes both reach and are reached by their
+         root => they form root's SCC. All colors run in the same
+         superstep jobs — this is coloring's advantage over single-pivot
+         FW-BW: every outer round peels ONE SCC PER COLOR ROOT, not one
+         SCC total.
+      4. Assign confirmed nodes scc_id = min member id of their color
+         class, remove them, restrict edges, repeat.
+
+    Chassis identical to connected_components: edges shuffled once per
+    outer round onto their join key and persisted; supersteps move only
+    (id, color/mark) vectors; lineage cut per step; every convergence
+    check is a first()-probe on a node-sized relation. Rounds are
+    data-dependent (max_outer/max_inner are safety bounds ~ graph
+    diameter, not tuning knobs), which is exactly why this form trades
+    away the unrolled-SQL oracle — q_scc's fixed-round doubling closure
+    stays registered as the cross-engine-checkable formulation, and
+    tests/test_graph_algorithms.py proves the two agree.
+    """
+    spark = edges.sparkSession
+    ed0 = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    if partitions is None:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = max(1, min(cap, -(-ed0.count() // 75_000)))
+
+    all_nodes = (
+        edges.select(F.col("src").cast("long").alias("id"))
+        .unionByName(edges.select(F.col("dst").cast("long").alias("id")))
+        .distinct()
+        .repartition(partitions, "id")
+    )
+    nodes = cut_lineage(all_nodes)
+    ed = cut_lineage(ed0.repartition(partitions, "src"))
+    ed0.unpersist()
+
+    assigned = None  # DataFrame[id, scc_id], unioned + lineage-cut per round
+
+    def bank(found: DataFrame) -> None:
+        nonlocal assigned
+        assigned = (
+            found if assigned is None else cut_lineage(assigned.unionByName(found))
+        )
+
+    for _ in range(max_outer):
+        if nodes.first() is None:
+            break
+
+        # --- 1. trim singleton SCCs to fixpoint --------------------------
+        for _ in range(max_inner):
+            has_out = ed.select(F.col("src").alias("id"))
+            has_in = ed.select(F.col("dst").alias("id"))
+            core = cut_lineage(
+                nodes.join(has_out.distinct(), "id", "left_semi")
+                .join(has_in.distinct(), "id", "left_semi")
+            )
+            trimmed = nodes.join(core, "id", "left_anti").select(
+                "id", F.col("id").alias("scc_id")
+            )
+            if trimmed.first() is None:
+                break
+            bank(cut_lineage(trimmed))
+            nodes = core
+            ed = cut_lineage(
+                ed.join(nodes.select(F.col("id").alias("src")), "src", "left_semi")
+                .join(nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .select("src", "dst")
+            )
+        if nodes.first() is None:
+            continue
+
+        # --- 2. forward max-coloring to fixpoint -------------------------
+        color = cut_lineage(nodes.select("id", F.col("id").alias("color")))
+        for _ in range(max_inner):
+            nbr = (
+                color.join(ed, color.id == ed.src)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("color").alias("c"))
+            )
+            new_color = cut_lineage(
+                color.join(nbr, "id", "left").select(
+                    "id",
+                    F.greatest(
+                        F.col("color"), F.coalesce("c", F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            changed = (
+                new_color.alias("a")
+                .join(color.alias("b"), "id")
+                .filter(F.col("a.color") != F.col("b.color"))
+                .first()
+            )
+            color = new_color
+            if changed is None:
+                break
+
+        # --- 3. backward confirmation within each color ------------------
+        mark = cut_lineage(
+            color.select(
+                "id", "color", (F.col("id") == F.col("color")).alias("m")
+            )
+        )
+        for _ in range(max_inner):
+            reach = (
+                mark.filter("m")
+                .join(ed, mark.id == ed.dst)
+                .select(F.col("src").alias("id"), F.col("color").alias("vc"))
+                .distinct()
+            )
+            newly = (
+                mark.filter(~F.col("m"))
+                .join(reach, "id")
+                .filter(F.col("color") == F.col("vc"))
+                .select("id")
+            )
+            if newly.first() is None:
+                break
+            mark = cut_lineage(
+                mark.join(newly.withColumn("_n", F.lit(True)), "id", "left").select(
+                    "id", "color", (F.col("m") | F.coalesce("_n", F.lit(False))).alias("m")
+                )
+            )
+
+        members = mark.filter("m").select("id", "color")
+        scc_lbl = members.groupBy("color").agg(F.min("id").alias("scc_id"))
+        bank(cut_lineage(members.join(scc_lbl, "color").select("id", "scc_id")))
+
+        # --- 4. peel confirmed nodes and their edges ---------------------
+        nodes = cut_lineage(nodes.join(members.select("id"), "id", "left_anti"))
+        ed = cut_lineage(
+            ed.join(nodes.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(nodes.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+
+    if assigned is None:
+        return all_nodes.select("id", F.col("id").alias("scc_id"))
+    return assigned

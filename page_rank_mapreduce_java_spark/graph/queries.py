@@ -651,6 +651,23 @@ def _scc_oracle_sql(rounds: int = SCC_ROUNDS) -> str:
     )
 
 
+def q_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SCC path: Trim + forward-max coloring + backward
+    confirmation on the superstep chassis (graph/algorithms.
+    strongly_connected_components — data-dependent rounds, node-linear
+    state, no quadratic closure). Same labeling convention as q_scc, and
+    the same oracle: q_scc's doubling closure converges (early exit)
+    on the fixture graphs, so the unrolled fixed-round oracle computes
+    the TRUE SCC relation there, which is what FW-BW computes on any
+    graph. tests/test_graph_algorithms.py proves the two formulations
+    agree on random digraphs and on the corpus graph itself."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(directed_supplier_edges(spark, sf_dir))
+
+
 QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_pagerank_weighted": q_pagerank_weighted,
@@ -668,6 +685,7 @@ QUERIES = {
     "graph_hits": q_hits,
     "graph_common_neighbors": q_common_neighbors,
     "graph_scc": q_scc,
+    "graph_scc_fwbw": q_scc_fwbw,
     "graph_sssp_weighted": q_sssp_weighted,
 }
 
@@ -699,6 +717,7 @@ ORACLES = {
     "graph_personalized_pagerank": _ppr_oracle_sql(),
     "graph_common_neighbors": COMMON_NEIGHBORS_SQL,
     "graph_scc": _scc_oracle_sql(),
+    "graph_scc_fwbw": _scc_oracle_sql(),
     "graph_sssp_weighted": _sssp_oracle_sql(),
 }
 

@@ -90,3 +90,136 @@ def test_sssp_prefers_cheaper_longer_path(spark):
     sources = spark.createDataFrame([(0,)], "src LONG")
     got = {(r.id, r.dist) for r in sssp_weighted(edges, sources, rounds=4).collect()}
     assert (3, 3) in got and (2, 2) in got and (1, 1) in got and (0, 0) in got
+
+
+# --- FW-BW/coloring SCC vs a pure-Python Kosaraju reference ---------------
+
+
+def _kosaraju(n_edges):
+    """Reference SCC (Kosaraju) over an edge list; returns {node: min
+    member id of its SCC}. Pure Python, iterative (no recursion limits)."""
+    from collections import defaultdict
+
+    fwd, rev = defaultdict(list), defaultdict(list)
+    nodes = set()
+    for s, d in n_edges:
+        nodes.update((s, d))
+        if s != d:
+            fwd[s].append(d)
+            rev[d].append(s)
+    order, seen = [], set()
+    for root in nodes:
+        if root in seen:
+            continue
+        stack = [(root, iter(fwd[root]))]
+        seen.add(root)
+        while stack:
+            v, it = stack[-1]
+            adv = next(it, None)
+            if adv is None:
+                order.append(v)
+                stack.pop()
+            elif adv not in seen:
+                seen.add(adv)
+                stack.append((adv, iter(fwd[adv])))
+    comp = {}
+    for root in reversed(order):
+        if root in comp:
+            continue
+        stack, members = [root], [root]
+        comp[root] = root
+        while stack:
+            v = stack.pop()
+            for u in rev[v]:
+                if u not in comp:
+                    comp[u] = root
+                    members.append(u)
+                    stack.append(u)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp
+
+
+def _scc_spark(spark, pairs):
+    from page_rank_mapreduce_java_spark.graph.algorithms import (
+        strongly_connected_components,
+    )
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {r.id: r.scc_id for r in strongly_connected_components(df).collect()}
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # 1->2->3->1 and 10->11->10 with a one-way bridge 3->10.
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10)]
+    got = _scc_spark(spark, pairs)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_scc_pure_dag_all_singletons(spark):
+    pairs = [(a, b) for a in range(8) for b in range(8) if a < b]
+    got = _scc_spark(spark, pairs)
+    assert got == {i: i for i in range(8)}
+
+
+def test_scc_random_graphs_match_kosaraju(spark):
+    """Three adversarial shapes x seeds: sparse G(n,p), a DAG of small
+    cliques (many same-size SCCs), and a long cycle with random chords
+    (one big high-diameter SCC). Exact partition match with Kosaraju."""
+    import random
+
+    shapes = []
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = 40
+        shapes.append(
+            [
+                (a, b)
+                for a in range(n)
+                for b in range(n)
+                if a != b and rng.random() < 0.06
+            ]
+        )
+    for seed in (5,):
+        rng = random.Random(seed)
+        pairs = []
+        for c in range(6):  # 6 cliques of 4, chained one-way
+            base = c * 4
+            ids = list(range(base, base + 4))
+            pairs += [(a, b) for a in ids for b in ids if a != b]
+            if c:
+                pairs.append((base - 4, base))
+        shapes.append(pairs)
+    for seed in (11,):
+        rng = random.Random(seed)
+        n = 30
+        pairs = [(i, (i + 1) % n) for i in range(n)]
+        pairs += [(rng.randrange(n), rng.randrange(n)) for _ in range(10)]
+        shapes.append([(a, b) for a, b in pairs if a != b])
+
+    for pairs in shapes:
+        got = _scc_spark(spark, pairs)
+        want = _kosaraju(pairs)
+        assert got == want, (sorted(got.items())[:10], sorted(want.items())[:10])
+
+
+def test_scc_agrees_with_doubling_closure_query(spark, sf_dir):
+    """The engine operator and q_scc's oracle-checkable doubling closure
+    must produce the identical labeling on the corpus graph."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import (
+        strongly_connected_components,
+    )
+    from page_rank_mapreduce_java_spark.graph.queries import (
+        directed_supplier_edges,
+        q_scc,
+    )
+
+    want = {r.id: r.scc_id for r in q_scc(spark, sf_dir).collect()}
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(
+            directed_supplier_edges(spark, sf_dir)
+        ).collect()
+    }
+    assert got == want
