@@ -239,6 +239,24 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def recover_upsert(spark, target_dir: str) -> bool:
+    """Startup/sink-entry check for an upsert swap that crashed between
+    its two renames (table stranded at ``<target>._upsert_old`` while
+    ``target_dir`` is missing). Returns True if a recovery rename was
+    performed. Mirrors sources/maintenance.recover_compaction: it only
+    acts when the target is absent AND the old copy exists, so a healthy
+    or mid-write table is never touched."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    jold = jvm.org.apache.hadoop.fs.Path(target_dir.rstrip("/") + "._upsert_old")
+    if fs.exists(jold) and not fs.exists(jpath):
+        if not fs.rename(jold, jpath):
+            raise IOError(f"recover_upsert: could not restore {target_dir}")
+        return True
+    return False
+
+
 def stream_upsert_to_parquet(
     stream: DataFrame,
     target_dir: str,
@@ -275,6 +293,12 @@ def stream_upsert_to_parquet(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # A crash between the two swap renames below strands the table at
+        # ._upsert_old with target_dir missing; without this restore the
+        # next epoch would rebuild "merged" from its own batch alone and
+        # then delete the stranded copy — losing the table (ADVICE r3
+        # medium). Same contract as sources/maintenance.recover_compaction.
+        recover_upsert(spark, target_dir)
         w = W.partitionBy(key).orderBy(F.desc(version_col))
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))

@@ -227,3 +227,54 @@ def test_stream_upsert_latest_version_and_replay_idempotent(spark, tmp_path):
     stream_upsert_to_parquet(stream3, target, key="k", version_col="version")
     got3 = {tuple(r) for r in spark.read.parquet(target).collect()}
     assert got3 == want
+
+
+def test_recover_upsert_restores_stranded_table(spark, tmp_path):
+    """A crash between the upsert sink's two swap renames leaves the
+    table only at '<target>._upsert_old'. The next sink invocation (or an
+    explicit recover_upsert) must restore it BEFORE merging — otherwise
+    the epoch rebuilds the table from its own batch alone and the final
+    cleanup deletes the stranded copy permanently (ADVICE r3 medium)."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from page_rank_mapreduce_java_spark.streaming.events import (
+        recover_upsert,
+        stream_upsert_to_parquet,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    target = str(tmp_path / "table")
+    spark.createDataFrame([(1, 1, "a1"), (2, 1, "b1")], schema).coalesce(
+        1
+    ).write.parquet(target)
+
+    # Healthy table: recovery is a no-op.
+    assert recover_upsert(spark, target) is False
+
+    # Simulate the crashed swap: table moved aside, promote never happened.
+    shutil.move(target, target + "._upsert_old")
+    assert recover_upsert(spark, target) is True
+    assert {tuple(r) for r in spark.read.parquet(target).collect()} == {
+        (1, 1, "a1"),
+        (2, 1, "b1"),
+    }
+
+    # End-to-end: strand the table again, then run a stream carrying only
+    # a NEW key. The sink must self-recover and merge, not start over.
+    shutil.move(target, target + "._upsert_old")
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(3, 1, "c1")], schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_upsert_to_parquet(stream, target, key="k", version_col="version")
+    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 1, "a1"), (2, 1, "b1"), (3, 1, "c1")}
+    assert not os.path.exists(target + "._upsert_old")
