@@ -50,16 +50,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pagerank(spark, "/root/testdata/sf0.001")
 
 
-def query_hash(fn: Callable, oracle: str | None) -> str:
-    """Source hash for staleness detection: the query function's own source
-    plus its fully-rendered oracle SQL. Helper functions the Spark side
-    calls are not captured (acceptable approximation — oracles embedding
-    helper SQL ARE captured because the strings are rendered at import)."""
+_ENGINE_PKG = "page_rank_mapreduce_java_spark"
+_IMPORT_RE = None  # compiled lazily; re imported only if needed
+
+
+def _fn_source(fn) -> str:
     try:
-        src = inspect.getsource(fn)
+        return inspect.getsource(fn)
     except (OSError, TypeError):  # builtins/partials: fall back to repr
-        src = repr(fn)
-    payload = src + "\x00" + (oracle or "")
+        return repr(fn)
+
+
+def _dependency_sources(fn: Callable) -> list[str]:
+    """Sources of every ENGINE function the query transitively calls.
+
+    Editing an operator helper (global_percent_rank, salted joins,
+    interval pairing, ...) must stale its dependent green queries exactly
+    like editing the query function itself (ADVICE r3: the stale-green
+    class the ledger was built to prevent). Resolution is mechanical and
+    deterministic: a function's referenced names (``co_names``) looked up
+    in its module globals, plus ``from <engine pkg> import name`` lines in
+    its body (local imports don't land in globals), recursively over any
+    resolved engine-package function. Appending an UNRELATED function to
+    a module stales nothing — only functions on the call path count.
+    Caveat (same as before): hashes must be computed in a process that
+    imported the CURRENT on-disk source; inspect.getsource after an
+    in-process edit returns garbage line ranges."""
+    global _IMPORT_RE
+    import importlib
+    import re as _re
+    import types
+
+    if _IMPORT_RE is None:
+        _IMPORT_RE = _re.compile(
+            rf"from\s+({_ENGINE_PKG}[\w.]*)\s+import\s+\(?([\w,\s]+?)\)?\s*$",
+            _re.MULTILINE,
+        )
+    out: dict[tuple[str, str], str] = {}
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        src = _fn_source(f)
+        candidates = []
+        gl = getattr(f, "__globals__", {})
+        for name in code.co_names:
+            candidates.append(gl.get(name))
+        for mod_name, names in _IMPORT_RE.findall(src):
+            try:
+                mod = importlib.import_module(mod_name)
+            except ImportError:
+                continue
+            for n in _re.split(r"[,\s]+", names):
+                if n:
+                    candidates.append(getattr(mod, n, None))
+        for obj in candidates:
+            if (
+                isinstance(obj, types.FunctionType)
+                and getattr(obj, "__module__", "").startswith(_ENGINE_PKG)
+            ):
+                key = (obj.__module__, obj.__qualname__)
+                if key not in out:
+                    out[key] = _fn_source(obj)
+                    stack.append(obj)
+    return [out[k] for k in sorted(out)]
+
+
+def query_hash(fn: Callable, oracle: str | None) -> str:
+    """Source hash for staleness detection: the query function's own
+    source, the sources of every engine helper it transitively calls
+    (see _dependency_sources), and its fully-rendered oracle SQL (which
+    captures SQL-building helpers because the strings are rendered at
+    import)."""
+    payload = "\x00".join(
+        [_fn_source(fn), *_dependency_sources(fn), oracle or ""]
+    )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

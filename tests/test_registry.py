@@ -114,3 +114,34 @@ def test_every_query_has_oracle():
 def test_rows_only_exception_sorts_last():
     order = list(entrymod.queries())
     assert order[-1] in ROWS_ONLY_BY_DESIGN
+
+
+def test_query_hash_captures_transitive_helpers():
+    """Editing an operator module a query depends on must change that
+    query's hash (-> audit group 1, re-earns its green). The hash payload
+    therefore includes the transitively-resolved sources of every engine
+    function the query calls — module-level imports AND function-local
+    `from <pkg> import name` imports (ADVICE r3 low #3)."""
+    q = entrymod.queries()
+
+    # Module-scope helper chain: window_percent_rank -> global_percent_rank
+    # -> global_row_number (operators/ranking.py).
+    deps = "".join(entrymod._dependency_sources(q["window_percent_rank"]))
+    assert "def global_percent_rank" in deps
+    assert "def global_row_number" in deps
+
+    # Function-local import chain: dedup_clusters imports
+    # connected_components inside its body; cut_lineage is two hops deep.
+    deps = "".join(entrymod._dependency_sources(q["dedup_clusters"]))
+    assert "def connected_components" in deps
+    assert "def cut_lineage" in deps
+
+    # And the hash actually moves when a dependency's source changes.
+    fn = q["window_percent_rank"]
+    base = entrymod.query_hash(fn, "SELECT 1")
+    real = entrymod._dependency_sources
+    try:
+        entrymod._dependency_sources = lambda f: ["def global_percent_rank: EDITED"]
+        assert entrymod.query_hash(fn, "SELECT 1") != base
+    finally:
+        entrymod._dependency_sources = real

@@ -32,10 +32,21 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    stale = set()
-    args = sys.argv[1:]
-    if args and args[0] == "--stale":
-        stale = set(args[1:])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stale", nargs="*", default=[], help="force-stale these green queries")
+    ap.add_argument(
+        "--repin-green",
+        action="store_true",
+        help="recompute hash pins for green entries with the CURRENT "
+        "query_hash function. ONLY valid immediately after changing the "
+        "hash algorithm, from a tree verified to have no unaudited edits "
+        "to green queries — it re-blesses current source. Combine with "
+        "--stale for any green query known to be edited.",
+    )
+    ns = ap.parse_args()
+    stale = set(ns.stale)
 
     import __spark_entry__ as entrymod
 
@@ -78,7 +89,7 @@ def main() -> int:
     for name, fn in q.items():
         driver = verdicts.get(name, "never")
         old = prev.get(name)
-        if old is not None and old.get("driver") == driver:
+        if old is not None and old.get("driver") == driver and not ns.repin_green:
             h = old["hash"]  # verdict unchanged -> keep the certified pin
         else:
             h = entrymod.query_hash(fn, o.get(name))
