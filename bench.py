@@ -151,6 +151,77 @@ def main() -> None:
     }
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec
+
+    # Regression gate (VERDICT r3 next #7): compare per-query medians to
+    # the previous recorded run at the SAME scale factor and surface >25%
+    # regressions loudly — a regression should fail in-round, not wait
+    # for a judge diff. Shared-query ratio + offenders go in the JSON
+    # ("vs_prev"); the human-readable table goes to stderr to keep stdout
+    # one line. History source: bench_history.jsonl (appended by every
+    # run of this script — the driver's BENCH_r{N}.json keeps only a
+    # truncated stdout tail, so it can't serve as the baseline), with the
+    # driver files' "parsed" field as a fallback for a fresh clone.
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(here, "bench_history.jsonl")
+    prev_q, prev_label = {}, None
+    try:
+        with open(hist_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("sf") == sf and rec.get("queries"):
+                    prev_q, prev_label = rec["queries"], "bench_history.jsonl"
+    except (OSError, json.JSONDecodeError):
+        pass
+    if not prev_q:
+        for p in sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda x: int(re.search(r"r(\d+)", x).group(1)),
+        ):
+            try:
+                parsed = json.load(open(p)).get("parsed") or {}
+            except (OSError, json.JSONDecodeError):
+                continue
+            if parsed.get("sf") == sf and parsed.get("queries"):
+                prev_q, prev_label = parsed["queries"], os.path.basename(p)
+    if prev_q:
+        prev_path = prev_label
+        shared = [n for n in timings if n in prev_q and prev_q[n] > 0]
+        if shared:
+            cur_sum = sum(timings[n] for n in shared)
+            prev_sum = sum(prev_q[n] for n in shared)
+            regressions = {
+                n: {"prev": prev_q[n], "now": timings[n],
+                    "ratio": round(timings[n] / prev_q[n], 2)}
+                for n in shared
+                if timings[n] > prev_q[n] * 1.25
+            }
+            out["vs_prev"] = {
+                "file": prev_path,
+                "shared_queries": len(shared),
+                "total_ratio": round(cur_sum / prev_sum, 3),
+                "regressed_over_25pct": regressions,
+            }
+            if regressions:
+                print(
+                    f"bench: {len(regressions)} queries regressed >25% vs "
+                    f"{os.path.basename(prev_path)}:",
+                    file=sys.stderr,
+                )
+                for n, r in sorted(
+                    regressions.items(), key=lambda kv: -kv[1]["ratio"]
+                ):
+                    print(
+                        f"bench:   {n}: {r['prev']}s -> {r['now']}s "
+                        f"({r['ratio']}x)",
+                        file=sys.stderr,
+                    )
+    try:
+        with open(hist_path, "a") as f:
+            f.write(json.dumps(out) + "\n")
+    except OSError as e:
+        print(f"bench: could not append history: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
