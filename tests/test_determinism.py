@@ -26,6 +26,7 @@ QUERIES_UNDER_TEST = [
     "dedup_simhash",
     "events_ewma_value",
     "graph_scc",
+    "graph_scc_fwbw",
     "interval_overlap_orders",
     "q1_pricing_summary",
     # second wave: clustering, peeling, as-of ordering, content-keyed
