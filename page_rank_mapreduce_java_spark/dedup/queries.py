@@ -747,6 +747,132 @@ def _label_noise_sql() -> str:
 """
 
 
+# --- MinHash Jaccard estimation + exact containment over LSH candidates ------
+
+# ppm units per agreeing signature slot; asserted exact so the estimate is
+# integer arithmetic end-to-end (1e6 must divide evenly by the slot count).
+assert 1_000_000 % NUM_MINHASH == 0
+_PPM_PER_SLOT = 1_000_000 // NUM_MINHASH
+
+
+def q_dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATION for every LSH candidate pair: k_agree =
+    #(signature slots that match) out of NUM_MINHASH; E[k_agree/k] = J
+    (the MinHash identity, Broder'97). The estimate is what a 100 TB
+    pipeline uses to rank/threshold candidates WITHOUT touching document
+    text — signatures are 16 longs/doc vs kilobytes of shingles, so the
+    verification join moves ~100× less data than exact Jaccard.
+
+    Shape: candidate pairs (banded equi-join, never all-pairs) joined
+    twice against the signature relation on doc_id — both are doc-keyed
+    equi-joins. Integer output (k_agree, ppm units)."""
+    sig = _signatures(spark, sf_dir).persist()
+    pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_MINHASH)],
+    )
+    agree = None
+    for i in range(NUM_MINHASH):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("long").alias("k_agree"),
+            (agree * _PPM_PER_SLOT).cast("long").alias("jacc_est_ppm"),
+        )
+    )
+
+
+def _jaccard_est_sql() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_MINHASH)
+    )
+    return f"""
+    WITH msig AS MATERIALIZED ({_signatures_sql()}),
+    mpairs AS MATERIALIZED ({_lsh_pairs_sql()})
+    SELECT p.doc_a, p.doc_b,
+           CAST({agree} AS BIGINT) AS k_agree,
+           CAST(({agree}) * {_PPM_PER_SLOT} AS BIGINT) AS jacc_est_ppm
+    FROM mpairs p
+    JOIN msig a ON p.doc_a = a.doc_id
+    JOIN msig b ON p.doc_b = b.doc_id
+"""
+
+
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram CONTAINMENT for LSH candidate pairs: C = |A∩B| /
+    min(|A|,|B|) over distinct word shingles — the asymmetric subset-dup
+    signal (a doc pasted inside a larger page has low Jaccard but high
+    containment; C4/RefinedWeb-style pipelines drop on containment, not
+    Jaccard).
+
+    Scale: the shingle-intersection join is keyed (doc_b, shingle) and
+    runs only over LSH candidates, so its volume is Σ_pairs |A| — the
+    candidate-bounded verification pattern, never all-pairs. All-integer
+    output: sizes, intersection count, and ppm via integer div."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = (
+        d.select("doc_id", words(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(word_shingles("w")).alias("s"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir)
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("n_common * 1000000 div least(n_a, n_b)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+
+
+def _containment_sql() -> str:
+    return f"""
+    WITH cw AS (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+    csh AS (SELECT DISTINCT doc_id, unnest({shingles_sql('w')}) AS s FROM cw),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
+    cpairs AS MATERIALIZED ({_lsh_pairs_sql()}),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM cpairs p
+      JOIN csh a ON a.doc_id = p.doc_a
+      JOIN csh b ON b.doc_id = p.doc_b AND b.s = a.s
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           (i.n_common * 1000000) // LEAST(sa.n, sb.n) AS containment_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
@@ -760,6 +886,8 @@ QUERIES = {
     "dedup_passages": q_dedup_passages,
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "dq_label_noise": q_dq_label_noise,
+    "dedup_minhash_jaccard_est": q_dedup_minhash_jaccard_est,
+    "dedup_ngram_containment": q_dedup_ngram_containment,
 }
 
 ORACLES = {
@@ -780,4 +908,6 @@ ORACLES = {
     "dedup_passages": _passages_sql(),
     "embedding_dup_clusters": _emb_clusters_sql(),
     "dq_label_noise": _label_noise_sql(),
+    "dedup_minhash_jaccard_est": _jaccard_est_sql(),
+    "dedup_ngram_containment": _containment_sql(),
 }
