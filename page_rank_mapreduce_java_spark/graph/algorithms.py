@@ -448,3 +448,60 @@ def strongly_connected_components(
     if assigned is None:
         return all_nodes.select("id", F.col("id").alias("scc_id"))
     return assigned
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al.'07) for community
+    detection over the symmetrized edge set, made DETERMINISTIC: each
+    round every node adopts the most frequent label among its neighbors,
+    ties broken by the minimum label (the classic async coin-flip variant
+    is not reproducible; min-tiebreak synchronous LPA is, and is what an
+    unrolled SQL oracle can mirror). A FIXED round count — LPA has no
+    fixpoint guarantee (labels can oscillate on bipartite-ish structure),
+    so bounded rounds are the algorithm, not a compromise.
+
+    Returns DataFrame[id long, community long] (community = final label).
+
+    Chassis: edges shuffled once onto the join key and persisted;
+    each round moves one (id, label) vector through a count aggregate
+    keyed on (node, label) — bounded by degree sum — and a per-node
+    argmax window partitioned BY NODE (never global); lineage cut per
+    round. Distinct from connected_components: HashMin converges to
+    components regardless of density, LPA finds denser-than-cut groups
+    INSIDE a component.
+    """
+    from pyspark.sql.window import Window
+
+    spark = edges.sparkSession
+    sym_raw = _symmetrize(edges).persist()
+    if partitions is None:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partitions = max(1, min(cap, -(-sym_raw.count() // 75_000)))
+    sym = sym_raw.repartition(partitions, "src").persist()
+    nodes = sym.select(F.col("src").alias("id")).distinct().repartition(partitions, "id")
+    labels = cut_lineage(nodes.select("id", F.col("id").alias("label")))
+    sym_raw.unpersist()
+
+    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        counts = (
+            labels.join(sym, labels.id == sym.src)
+            .groupBy(F.col("dst").alias("id"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("label").alias("new"))
+        )
+        labels = cut_lineage(
+            labels.join(best, "id", "left").select(
+                "id", F.coalesce("new", F.col("label")).alias("label")
+            )
+        )
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("community"))

@@ -651,6 +651,49 @@ def _scc_oracle_sql(rounds: int = SCC_ROUNDS) -> str:
     )
 
 
+LPA_ROUNDS = 3
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the supplier co-occurrence graph via
+    deterministic synchronous label propagation (min-tiebreak LPA,
+    graph/algorithms.label_propagation), LPA_ROUNDS rounds. Distinct
+    from connected components: LPA separates denser-than-cut groups
+    INSIDE one component. The oracle unrolls the identical round count
+    with the identical argmax tie-break, so both engines compute the
+    same partial trajectory even where LPA would oscillate."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import label_propagation
+
+    return label_propagation(
+        cooccurrence_edges(spark, sf_dir), rounds=LPA_ROUNDS
+    )
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    base = f"""WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
+    sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f""",
+    b{i} AS MATERIALIZED (SELECT id, label FROM (
+        SELECT s.dst AS id, l.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY s.dst
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM l{p} l JOIN sym s ON l.id = s.src
+        GROUP BY s.dst, l.label) WHERE rn = 1),
+    l{i} AS (SELECT n.id, COALESCE(b.label, n.label) AS label
+             FROM l{p} n LEFT JOIN b{i} b ON n.id = b.id)"""
+        )
+    return (
+        base
+        + "".join(steps)
+        + f"\n    SELECT id, label AS community FROM l{rounds}"
+    )
+
+
 def q_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production SCC path: Trim + forward-max coloring + backward
     confirmation on the superstep chassis (graph/algorithms.
@@ -686,6 +729,7 @@ QUERIES = {
     "graph_common_neighbors": q_common_neighbors,
     "graph_scc": q_scc,
     "graph_scc_fwbw": q_scc_fwbw,
+    "graph_lpa_communities": q_lpa_communities,
     "graph_sssp_weighted": q_sssp_weighted,
 }
 
@@ -718,6 +762,7 @@ ORACLES = {
     "graph_common_neighbors": COMMON_NEIGHBORS_SQL,
     "graph_scc": _scc_oracle_sql(),
     "graph_scc_fwbw": _scc_oracle_sql(),
+    "graph_lpa_communities": _lpa_oracle_sql(),
     "graph_sssp_weighted": _sssp_oracle_sql(),
 }
 

@@ -223,3 +223,26 @@ def test_scc_agrees_with_doubling_closure_query(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_lpa_two_cliques_bridged(spark):
+    """Two 4-cliques joined by a single bridge edge: LPA must separate
+    them (each clique converges to its own min label) even though
+    connected components would merge everything into one."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import (
+        connected_components,
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    pairs = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+
+    got = {r.id: r.community for r in label_propagation(edges, rounds=3).collect()}
+    assert {got[i] for i in (0, 1, 2)} == {0}
+    assert {got[i] for i in (11, 12, 13)} == {10}
+    # ...while CC sees one component.
+    cc = {r.component for r in connected_components(edges).collect()}
+    assert cc == {0}
