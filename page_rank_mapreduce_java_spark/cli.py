@@ -83,6 +83,7 @@ def full_registry() -> tuple[dict, dict]:
         relational4,
         relational5,
         relational6,
+        relational7,
     )
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
@@ -97,6 +98,7 @@ def full_registry() -> tuple[dict, dict]:
         relational4,
         relational5,
         relational6,
+        relational7,
         dedup_queries,
         sim_queries,
         text_queries,
