@@ -64,6 +64,13 @@ HEADLINE = [
     "window_percent_rank",
     "interval_overlap_orders",
     "events_retention_cohorts",
+    # round 4 additions
+    "graph_scc_fwbw",
+    "graph_lpa_communities",
+    "dedup_minhash_jaccard_est",
+    "dedup_ngram_containment",
+    "join_bitmap_semi_orders",
+    "text_vocab_coverage",
 ]
 
 
