@@ -466,16 +466,19 @@ def label_propagation(
 
     Returns DataFrame[id long, community long] (community = final label).
 
-    Chassis: edges shuffled once onto the join key and persisted;
-    each round moves one (id, label) vector through a count aggregate
-    keyed on (node, label) — bounded by degree sum — and a per-node
-    argmax window partitioned BY NODE (never global); lineage cut per
-    round. Distinct from connected_components: HashMin converges to
-    components regardless of density, LPA finds denser-than-cut groups
-    INSIDE a component.
+    Chassis: edges shuffled once onto the join key and persisted; each
+    round moves one (id, label) vector through a count aggregate keyed
+    on (node, label) — bounded by degree sum — then a per-node argmax.
+    The argmax is NOT a window (Window.partitionBy(id) serializes a hub
+    node's label counts through one task and cannot pre-aggregate): it
+    is max(struct(count, -label)) — struct ordering compares count
+    first, then -label, so the max is exactly 'highest count, ties to
+    the MINIMUM label', and as a plain aggregate it partial-aggregates
+    map-side and rides AQE skew handling. Lineage cut per round.
+    Distinct from connected_components: HashMin converges to components
+    regardless of density, LPA finds denser-than-cut groups INSIDE a
+    component.
     """
-    from pyspark.sql.window import Window
-
     spark = edges.sparkSession
     sym_raw = _symmetrize(edges).persist()
     if partitions is None:
@@ -486,7 +489,6 @@ def label_propagation(
     labels = cut_lineage(nodes.select("id", F.col("id").alias("label")))
     sym_raw.unpersist()
 
-    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(rounds):
         counts = (
             labels.join(sym, labels.id == sym.src)
@@ -494,9 +496,9 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         best = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("label").alias("new"))
+            counts.groupBy("id")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("id", (-F.col("m.nl")).alias("new"))
         )
         labels = cut_lineage(
             labels.join(best, "id", "left").select(
