@@ -84,6 +84,7 @@ def full_registry() -> tuple[dict, dict]:
         relational5,
         relational6,
         relational7,
+        relational8,
     )
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
@@ -99,6 +100,7 @@ def full_registry() -> tuple[dict, dict]:
         relational5,
         relational6,
         relational7,
+        relational8,
         dedup_queries,
         sim_queries,
         text_queries,

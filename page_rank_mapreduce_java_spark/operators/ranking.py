@@ -224,3 +224,41 @@ def global_dense_rank(
     return df.join(
         ranked_vals, order_col.eqNullSafe(F.col(value_alias))
     ).drop(value_alias)
+
+
+def grouped_topk_low_cardinality(
+    df: DataFrame, group_cols: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Exact top-k per group when the GROUP key is low-cardinality.
+
+    ``Window.partitionBy(group)`` funnels each group through one task —
+    fine for per-order top-k (high-cardinality key, see
+    window_topk_per_order), a scale-killer for per-language top-k over
+    a corpus with 30 languages. Two-level prune instead:
+
+    1. stamp the input partition id (map-side, before any exchange) and
+       take a LOCAL top-k per (partition, group) — the window key is
+       high-cardinality (#partitions × #groups) so parallelism tracks
+       the input, and any row in a group's true global top-k is
+       necessarily in the top-k of the partition slice that holds it,
+       for ANY partition assignment (correctness doesn't depend on the
+       nondeterministic ids);
+    2. run the exact per-group window over the ≤ k·partitions·|groups|
+       survivors — a provably bounded relation.
+
+    ``order`` must be a total order (include a unique tiebreak) or the
+    boundary rows are nondeterministic.
+    """
+    d = df.withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy("_pid", *group_cols).orderBy(*order)
+    pruned = (
+        d.withColumn("_lrn", F.row_number().over(wl))
+        .filter(F.col("_lrn") <= k)
+        .drop("_pid", "_lrn")
+    )
+    wg = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

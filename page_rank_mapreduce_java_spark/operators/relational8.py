@@ -1,0 +1,639 @@
+"""Relational operator surface, batch 8 (round 4): the statistical-
+mining block — association pairs, Markov transitions, information-theory
+profiles (entropy, mutual information, chi-square), concentration (HHI),
+correlation matrices, Pareto skylines, winsorized robust means, sliding
+distinct counts, and RFM quantile segmentation.
+
+These are the dataset-understanding queries a training-data pipeline
+runs before and after every curation step: is the label correlated with
+a leaky feature (mutual information / chi-square)? is one supplier /
+domain dominating the mix (HHI)? what does the co-occurrence structure
+look like (association pairs)? what's the robust central tendency once
+tail garbage is clipped (winsorized mean)? The reference engine has
+none of this (its surface is the fixed PageRank loop,
+pageRank_v2.java:25-47); all of it is beyond-reference extension
+surface per the SURVEY §2.5/§2.9 "absent in ref" rows.
+
+Canonicalization policy (tools/canon_audit.py): every float-valued
+statistic leaves the engine as a scaled BIGINT (ppm / micro-nats /
+milli) computed by ROUND(x * scale); counts and money are exact BIGINT
+cents end-to-end. Both engines do the identical double arithmetic on
+identical exact inputs, so the scaled integers agree (same policy that
+certified the cosine/HITS/EWMA families in r2/r3).
+
+Scale notes are per-query; the common theme is that every aggregate
+here is a keyed groupBy with map-side partial aggregation and every
+small relation on a join's build side is broadcast explicitly — no
+global windows over unbounded relations (the two windows in this module
+run over provably bounded relations: distinct p_size ≤ 50, and the
+two-level grouped top-k prune in operators/ranking.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.functions.hashes import md5_long, md5_long_sql
+from page_rank_mapreduce_java_spark.functions.money import cents as _cents, cents_sql
+from page_rank_mapreduce_java_spark.operators.ranking import (
+    global_ntile,
+    grouped_topk_low_cardinality,
+)
+
+# --- association pairs (frequent-itemset support counting) -------------------
+
+BASKET_CAP = 16
+PAIR_MIN_SUPPORT = 2
+
+
+def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-ordered in the same order with support ≥ 2 — the
+    pairwise (k=2) pass of apriori-style association mining.
+
+    Scale shape: the pair generator is a SELF-JOIN ON THE ORDER KEY, so
+    pair volume is Σ basket² — bounded by capping basket size at
+    BASKET_CAP first (the cap aggregate keys on the same l_orderkey the
+    join shuffles on, so AQE reuses one exchange). TPC-H baskets are ≤ 7
+    items; the cap exists for the 100 TB case where one pathological
+    basket (a crawler cart with 10⁵ items) would otherwise emit 10¹⁰
+    pairs from a single row group. Support counting is one hash
+    aggregate on the (p1, p2) pair key with map-side partials.
+    """
+    items = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    keep = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
+    i = items.join(keep, "l_orderkey")
+    a, b = i.alias("a"), i.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= PAIR_MIN_SUPPORT)
+    )
+
+
+BASKET_PAIRS_SQL = f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    keep AS (SELECT l_orderkey FROM items GROUP BY 1
+             HAVING COUNT(*) <= {BASKET_CAP}),
+    i AS (SELECT items.* FROM items JOIN keep USING (l_orderkey))
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM i a JOIN i b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {PAIR_MIN_SUPPORT}
+"""
+
+
+# --- Markov transition counts ------------------------------------------------
+
+
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream: for consecutive events (by ts, event_id tiebreak — a total
+    order, so LEAD is deterministic on both engines), count (src → dst)
+    event-type pairs.
+
+    Scale shape: the LEAD window partitions on user_id — a
+    high-cardinality key, so parallelism tracks the user population
+    (contrast the low-cardinality window hazard this repo polices,
+    operators/ranking.py docstring). One exchange on user_id + one
+    transition-pair hash aggregate.
+    """
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+    WITH s AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
+"""
+
+
+# --- Shannon entropy per user ------------------------------------------------
+
+
+def q_user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution, in
+    integer micro-nats — the behavioral-diversity score (a user who only
+    ever emits 'view' scores 0; uniform over k types scores ln k).
+
+    Scale shape: two user-keyed aggregates back to back (type counts,
+    then the entropy sum) — the second groupBy reuses the first's
+    user_id exchange under AQE. Entropy is Σ −p·ln p over each user's
+    ≤ |event_type| rows; all arithmetic on exact counts, rounded once
+    at the end (module canonicalization policy).
+    """
+    c = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(-p * F.log(p)) * 1e6)
+            .cast("long")
+            .alias("entropy_micro")
+        )
+    )
+
+
+USER_ENTROPY_SQL = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(ROUND(SUM(-(n * 1.0 / tot) * ln(n * 1.0 / tot)) * 1e6, 0)
+                AS BIGINT) AS entropy_micro
+    FROM c JOIN t USING (user_id) GROUP BY 1
+"""
+
+
+# --- HHI revenue concentration per nation ------------------------------------
+
+
+def q_hhi_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation, in ppm (10⁶ = monopoly, 10⁶/k = k equal suppliers) —
+    the domain-mixture concentration check of a curation pipeline
+    (swap nation→source, supplier→domain on a documents corpus).
+
+    Scale shape: revenue is summed per (nation, supplier) in exact
+    cents (one fact-table aggregate; the supplier dimension is
+    broadcast), nation totals are a second tiny aggregate over the
+    per-supplier relation, and HHI is a third — volumes shrink by
+    orders of magnitude at each step.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    r = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("rev"))
+    )
+    t = r.groupBy("s_nationkey").agg(F.sum("rev").alias("tot"))
+    share = F.col("rev") / F.col("tot")
+    hhi = (
+        r.join(F.broadcast(t), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(F.round(F.sum(share * share) * 1e6).cast("long").alias("hhi_ppm"))
+    )
+    return hhi.join(
+        F.broadcast(nat), hhi.s_nationkey == nat.n_nationkey
+    ).select("n_name", "hhi_ppm")
+
+
+HHI_SQL = f"""
+    WITH r AS (
+      SELECT s_nationkey, l_suppkey,
+             SUM({cents_sql('l_extendedprice')}) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT s_nationkey, SUM(rev) AS tot FROM r GROUP BY 1)
+    SELECT n_name,
+           CAST(ROUND(SUM((rev * 1.0 / tot) * (rev * 1.0 / tot)) * 1e6, 0)
+                AS BIGINT) AS hhi_ppm
+    FROM r JOIN t USING (s_nationkey)
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+"""
+
+
+# --- chi-square independence test --------------------------------------------
+
+
+def q_chi2_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of l_returnflag ×
+    l_linestatus, in integer milli-units — the leakage detector a
+    training pipeline points at (feature, label) pairs before a split.
+
+    Scale shape: ONE pass over the fact table builds the contingency
+    table (≤ |flags|·|statuses| cells); margins and the statistic are
+    driver-free arithmetic over that tiny relation with broadcast
+    joins. Σ (O−E)²/E from exact counts.
+    """
+    o = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = o.agg(F.sum("n").alias("t"))
+    rr = o.groupBy("l_returnflag").agg(F.sum("n").alias("nr"))
+    cc = o.groupBy("l_linestatus").agg(F.sum("n").alias("nc"))
+    e = F.col("nr") * F.col("nc") / F.col("t")
+    return (
+        o.join(F.broadcast(rr), "l_returnflag")
+        .join(F.broadcast(cc), "l_linestatus")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e) * 1e3)
+            .cast("long")
+            .alias("chi2_milli")
+        )
+    )
+
+
+CHI2_SQL = """
+    WITH o AS (SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n
+               FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS t FROM o),
+    r AS (SELECT rf, SUM(n) AS nr FROM o GROUP BY 1),
+    c AS (SELECT ls, SUM(n) AS nc FROM o GROUP BY 1)
+    SELECT CAST(ROUND(SUM((n - nr * nc * 1.0 / t) * (n - nr * nc * 1.0 / t)
+                          / (nr * nc * 1.0 / t)) * 1e3, 0) AS BIGINT)
+           AS chi2_milli
+    FROM o JOIN r USING (rf) JOIN c USING (ls), tot
+"""
+
+
+# --- mutual information ------------------------------------------------------
+
+
+def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over the documents corpus in
+    integer micro-nats — how much knowing the source tells you about
+    the language (0 = independent). The feature-selection /
+    leakage-audit primitive.
+
+    Scale shape: identical to the chi-square plan — one corpus pass for
+    the joint table, broadcast margins, tiny final sum.
+    """
+    j = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = j.agg(F.sum("n").alias("t"))
+    a = j.groupBy("lang").agg(F.sum("n").alias("na"))
+    b = j.groupBy("source").agg(F.sum("n").alias("nb"))
+    term = (F.col("n") / F.col("t")) * F.log(
+        F.col("n") * F.col("t") / (F.col("na") * F.col("nb"))
+    )
+    return (
+        j.join(F.broadcast(a), "lang")
+        .join(F.broadcast(b), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(F.sum(term) * 1e6).cast("long").alias("mi_micro"))
+    )
+
+
+MUTUAL_INFO_SQL = """
+    WITH j AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS t FROM j),
+    a AS (SELECT lang, SUM(n) AS na FROM j GROUP BY 1),
+    b AS (SELECT source, SUM(n) AS nb FROM j GROUP BY 1)
+    SELECT CAST(ROUND(SUM((n * 1.0 / t)
+                          * ln(n * 1.0 * t / (na * 1.0 * nb))) * 1e6, 0)
+                AS BIGINT) AS mi_micro
+    FROM j JOIN a USING (lang) JOIN b USING (source), tot
+"""
+
+
+# --- pairwise correlation matrix ---------------------------------------------
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_corr_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every unordered pair of lineitem
+    numeric measures, as (x, y, corr_ppm) rows — the feature-redundancy
+    screen before training.
+
+    Scale shape: ALL six correlations come from ONE full-table
+    aggregate (Spark fuses the six F.corr co-moment accumulators into a
+    single partial-agg pass — no per-pair scans); the stack() unpivot
+    to rows touches a 1-row relation.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = [
+        (x, y) for i, x in enumerate(CORR_COLS) for y in CORR_COLS[i + 1 :]
+    ]
+    agg = li.agg(
+        *[
+            F.round(F.corr(x, y) * 1e6).cast("long").alias(f"_c{i}")
+            for i, (x, y) in enumerate(pairs)
+        ]
+    )
+    stack_expr = ", ".join(
+        f"'{x}', '{y}', _c{i}" for i, (x, y) in enumerate(pairs)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_expr}) AS (x, y, corr_ppm)"
+        )
+    )
+
+
+_CORR_PAIRS = [
+    (x, y) for i, x in enumerate(CORR_COLS) for y in CORR_COLS[i + 1 :]
+]
+CORR_PAIRS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{x}' AS x, '{y}' AS y,
+        CAST(ROUND(corr({x}, {y}) * 1e6, 0) AS BIGINT) AS corr_ppm
+        FROM lineitem"""
+    for x, y in _CORR_PAIRS
+)
+
+
+# --- Pareto skyline ----------------------------------------------------------
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D Pareto frontier of parts: maximize p_size, minimize
+    price (exact cents); a part survives iff no other part is ≥ in size
+    and ≤ in price with at least one strict inequality.
+
+    Scale shape: the naive definition is an all-pairs dominance test
+    (the oracle states exactly that, NOT EXISTS — ground truth); the
+    engine plan is the classic sort-free 2-D skyline: aggregate to
+    per-size min price (one shuffle over ≤ |distinct sizes| groups,
+    map-side partials do the heavy lifting), compute the strictly-
+    larger-size running minimum with a window over that PROVABLY
+    BOUNDED relation (p_size is a small-domain attribute — ≤ 50 values
+    at any scale; this is the documented exception to the no-global-
+    window rule, cf. operators/ranking.py), broadcast the thresholds
+    back, and filter: price == min(price | same size) AND price <
+    min(price | strictly larger size). Dominance via one broadcast
+    join, never a pair join.
+    """
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_size", _cents("p_retailprice").alias("price_c")
+    )
+    persize = p.groupBy("p_size").agg(F.min("price_c").alias("_minp"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fr = persize.withColumn("_cm", F.min("_minp").over(w))
+    return (
+        p.join(F.broadcast(fr), "p_size")
+        .filter(
+            (F.col("price_c") == F.col("_minp"))
+            & (F.col("_cm").isNull() | (F.col("price_c") < F.col("_cm")))
+        )
+        .select("p_partkey", "p_size", "price_c")
+    )
+
+
+SKYLINE_SQL = f"""
+    WITH p AS (SELECT p_partkey, p_size,
+                      {cents_sql('p_retailprice')} AS price_c FROM part)
+    SELECT p_partkey, p_size, price_c FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+        AND (b.p_size > a.p_size OR b.price_c < a.price_c)
+    )
+"""
+
+
+# --- winsorized mean ---------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorized_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized mean document length (clip to the exact
+    [p05, p95] quantiles, then average), in integer milli-chars — the
+    robust length statistic quality filters threshold on (a handful of
+    100 MB crawler blobs would otherwise drag the plain mean).
+
+    Scale shape: exact interpolated percentiles per language via
+    Spark's `percentile` aggregate (same (n−1)·p linear interpolation
+    as DuckDB's quantile_cont — the inputs are integers, so the
+    interpolated halves are exact binary fractions on both engines),
+    broadcast the ≤ |lang| bounds back, clip, and average in one more
+    keyed pass.
+    """
+    d = load_table(spark, "documents", sf_dir).select("lang", "n_chars")
+    q = d.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {WINSOR_LO})").alias("_lo"),
+        F.expr(f"percentile(n_chars, {WINSOR_HI})").alias("_hi"),
+    )
+    clipped = F.greatest(
+        F.col("_lo"), F.least(F.col("_hi"), F.col("n_chars").cast("double"))
+    )
+    return (
+        d.join(F.broadcast(q), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg(clipped) * 1e3).cast("long").alias("wmean_milli"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+WINSORIZED_SQL = f"""
+    WITH q AS (SELECT lang, quantile_cont(n_chars, {WINSOR_LO}) AS lo,
+                      quantile_cont(n_chars, {WINSOR_HI}) AS hi
+               FROM documents GROUP BY 1)
+    SELECT d.lang,
+           CAST(ROUND(AVG(GREATEST(lo, LEAST(hi, n_chars * 1.0))) * 1e3, 0)
+                AS BIGINT) AS wmean_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN q USING (lang) GROUP BY 1
+"""
+
+
+# --- sliding 7-day distinct users --------------------------------------------
+
+
+def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU-style
+    metric where COUNT(DISTINCT) OVER a range frame isn't expressible
+    as a window (neither engine supports distinct window aggregates).
+
+    Scale shape: dedupe to (day, user) pairs first (one exchange —
+    the big reduction), then each pair FANS OUT to the ≤ 7 window
+    anchor days it contributes to (explode of a 7-element sequence —
+    map-side, bounded ×7), then one count-distinct keyed on the anchor
+    day. Distinct-expansion is Spark's standard two-level expand; no
+    self-join of the fact table (the oracle does the O(days × pairs)
+    range join instead — ground truth at audit scale).
+    """
+    e = load_table(spark, "events", sf_dir)
+    pairs = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = pairs.select("day").distinct().withColumnRenamed("day", "anchor")
+    fanned = pairs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+        "user_id",
+    )
+    return (
+        fanned.join(F.broadcast(days), "anchor")
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.col("anchor").alias("day"), "users_7d")
+    )
+
+
+ROLLING_DISTINCT_SQL = """
+    WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                   FROM events),
+    days AS (SELECT DISTINCT day FROM pairs)
+    SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS users_7d
+    FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+"""
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+RFM_TILES = 4
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile each customer on recency
+    (last order day), frequency (order count), monetary (total cents),
+    then count customers per (r, f, m) cell — 4³ = 64 segments max.
+
+    Scale shape: one orders aggregate to customer grain, then THREE
+    global NTILEs — each on the scalable two-pass range-partitioned
+    ranking chassis (operators/ranking.global_ntile), never a
+    single-task global window. Tiebreak on custkey makes every quartile
+    assignment a total order, so the DuckDB ntile mirrors exactly.
+    """
+    c = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(_cents("o_totalprice")).alias("monet"),
+        )
+    )
+    c = global_ntile(
+        c, RFM_TILES, [F.asc("last_day"), F.asc("o_custkey")], out_col="r_q"
+    )
+    c = global_ntile(
+        c, RFM_TILES, [F.asc("freq"), F.asc("o_custkey")], out_col="f_q"
+    )
+    c = global_ntile(
+        c, RFM_TILES, [F.asc("monet"), F.asc("o_custkey")], out_col="m_q"
+    )
+    return c.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+RFM_SQL = f"""
+    WITH c AS (
+      SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             COUNT(*) AS freq, SUM({cents_sql('o_totalprice')}) AS monet
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT o_custkey,
+             ntile({RFM_TILES}) OVER (ORDER BY last_day, o_custkey) AS r_q,
+             ntile({RFM_TILES}) OVER (ORDER BY freq, o_custkey) AS f_q,
+             ntile({RFM_TILES}) OVER (ORDER BY monet, o_custkey) AS m_q
+      FROM c
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY 1, 2, 3
+"""
+
+
+# --- deterministic per-group uniform sample ----------------------------------
+
+SAMPLE_K = 5
+
+
+def q_sample_per_lang_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample per language: the SAMPLE_K docs
+    with the smallest portable hash of their id — reproducible
+    stratified sampling for eval-set carving (same md5 parity trick as
+    the sketch family, functions/hashes.py).
+
+    Scale shape: lang is LOW-cardinality, so a per-lang row_number
+    window would funnel each language through one task. Instead this
+    rides operators/ranking.grouped_topk_low_cardinality: a local
+    top-k per (input-partition × lang) prunes the stream to
+    ≤ k·partitions·|lang| rows before the exact per-lang window runs
+    over that bounded remainder.
+    """
+    d = load_table(spark, "documents", sf_dir).select(
+        "lang",
+        "doc_id",
+        md5_long(F.col("doc_id").cast("string")).alias("h"),
+    )
+    return grouped_topk_low_cardinality(
+        d, ["lang"], [F.asc("h"), F.asc("doc_id")], SAMPLE_K
+    )
+
+
+SAMPLE_PER_LANG_SQL = f"""
+    WITH h AS (SELECT lang, doc_id,
+                      {md5_long_sql("CAST(doc_id AS VARCHAR)")} AS h
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY h, doc_id) AS rn FROM h)
+    SELECT lang, doc_id, h FROM r WHERE rn <= {SAMPLE_K}
+"""
+
+
+QUERIES = {
+    "basket_pair_counts": q_basket_pair_counts,
+    "event_type_transitions": q_event_type_transitions,
+    "user_event_entropy": q_user_event_entropy,
+    "hhi_nation_revenue": q_hhi_nation_revenue,
+    "chi2_flag_status": q_chi2_flag_status,
+    "mutual_info_lang_source": q_mutual_info_lang_source,
+    "corr_pairs_lineitem": q_corr_pairs_lineitem,
+    "skyline_parts": q_skyline_parts,
+    "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
+    "rolling_7d_distinct_users": q_rolling_7d_distinct_users,
+    "rfm_segments": q_rfm_segments,
+    "sample_per_lang_topk": q_sample_per_lang_topk,
+}
+
+ORACLES = {
+    "basket_pair_counts": BASKET_PAIRS_SQL,
+    "event_type_transitions": EVENT_TRANSITIONS_SQL,
+    "user_event_entropy": USER_ENTROPY_SQL,
+    "hhi_nation_revenue": HHI_SQL,
+    "chi2_flag_status": CHI2_SQL,
+    "mutual_info_lang_source": MUTUAL_INFO_SQL,
+    "corr_pairs_lineitem": CORR_PAIRS_SQL,
+    "skyline_parts": SKYLINE_SQL,
+    "winsorized_chars_by_lang": WINSORIZED_SQL,
+    "rolling_7d_distinct_users": ROLLING_DISTINCT_SQL,
+    "rfm_segments": RFM_SQL,
+    "sample_per_lang_topk": SAMPLE_PER_LANG_SQL,
+}

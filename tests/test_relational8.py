@@ -1,0 +1,144 @@
+"""Semantics tests for batch 8 (statistical mining): the scalable
+plans are checked against their NAIVE definitions on small randomized
+inputs (oracle parity at corpus scale is covered by
+tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from page_rank_mapreduce_java_spark.operators.ranking import (
+    grouped_topk_low_cardinality,
+)
+
+
+def test_grouped_topk_matches_naive_window(spark):
+    """Two-level pruned top-k == plain per-group window top-k, across
+    partition layouts (local-prune correctness must not depend on how
+    rows landed in partitions)."""
+    rng = random.Random(7)
+    rows = [(rng.choice("abc"), i, rng.randrange(1000)) for i in range(500)]
+    for n_parts in (1, 3, 13):
+        df = spark.createDataFrame(
+            rows, "g STRING, id LONG, v LONG"
+        ).repartition(n_parts)
+        order = [F.asc("v"), F.asc("id")]
+        got = grouped_topk_low_cardinality(df, ["g"], order, 7)
+        w = Window.partitionBy("g").orderBy(*order)
+        want = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 7)
+            .drop("_rn")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+def test_grouped_topk_short_groups(spark):
+    """Groups smaller than k come back whole."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g STRING, v LONG"
+    ).repartition(4)
+    got = grouped_topk_low_cardinality(df, ["g"], [F.asc("v")], 10)
+    assert sorted(map(tuple, got.collect())) == [("a", 1), ("a", 2), ("b", 3)]
+
+
+def _naive_skyline(points):
+    """All-pairs dominance: keep p iff no q is >= in size, <= in price,
+    strict somewhere."""
+    out = []
+    for pk, s, c in points:
+        dominated = any(
+            s2 >= s and c2 <= c and (s2 > s or c2 < c)
+            for _, s2, c2 in points
+        )
+        if not dominated:
+            out.append((pk, s, c))
+    return sorted(out)
+
+
+def test_skyline_matches_naive_dominance(spark):
+    """The per-size-min + running-min plan == the quadratic dominance
+    definition, including duplicate (size, price) points (mutually
+    non-dominating: both stay)."""
+    from page_rank_mapreduce_java_spark.operators.relational8 import (
+        q_skyline_parts,  # noqa: F401  (plan under test built inline below)
+    )
+
+    rng = random.Random(11)
+    pts = [(i, rng.randrange(1, 8), rng.randrange(100, 200)) for i in range(60)]
+    pts += [(100, 5, 150), (101, 5, 150)]  # exact duplicate pair
+    p = spark.createDataFrame(pts, "p_partkey LONG, p_size INT, price_c LONG")
+
+    persize = p.groupBy("p_size").agg(F.min("price_c").alias("_minp"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fr = persize.withColumn("_cm", F.min("_minp").over(w))
+    got = (
+        p.join(F.broadcast(fr), "p_size")
+        .filter(
+            (F.col("price_c") == F.col("_minp"))
+            & (F.col("_cm").isNull() | (F.col("price_c") < F.col("_cm")))
+        )
+        .select("p_partkey", "p_size", "price_c")
+    )
+    assert sorted(map(tuple, got.collect())) == _naive_skyline(pts)
+
+
+def test_rolling_distinct_fanout_matches_naive(spark):
+    """Explode-fanout trailing-7-day distinct == per-day brute force."""
+    import datetime as dt
+
+    rng = random.Random(3)
+    base = dt.date(2024, 3, 1)
+    rows = [
+        (base + dt.timedelta(days=rng.randrange(20)), rng.randrange(12))
+        for _ in range(300)
+    ]
+    pairs_df = spark.createDataFrame(rows, "day DATE, user_id LONG").distinct()
+    days = pairs_df.select("day").distinct().withColumnRenamed("day", "anchor")
+    fanned = pairs_df.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "anchor"
+        ),
+        "user_id",
+    )
+    got = dict(
+        fanned.join(F.broadcast(days), "anchor")
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    )
+    pairs = set(map(tuple, pairs_df.collect()))
+    all_days = sorted({d for d, _ in pairs})
+    want = {
+        d: len(
+            {u for (d2, u) in pairs if (d - d2).days in range(7)}
+        )
+        for d in all_days
+    }
+    assert got == want
+
+
+def test_ntile_rfm_buckets_are_balanced(spark):
+    """global_ntile-based RFM: every quartile key in 1..4 and the three
+    marginals each split |customers| into near-equal quarters."""
+    from page_rank_mapreduce_java_spark.operators.relational8 import (
+        RFM_TILES,
+        q_rfm_segments,
+    )
+
+    seg = q_rfm_segments(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_customers for r in seg)
+    for axis in ("r_q", "f_q", "m_q"):
+        marg = {}
+        for r in seg:
+            marg[r[axis]] = marg.get(r[axis], 0) + r.n_customers
+        assert set(marg) <= set(range(1, RFM_TILES + 1))
+        assert max(marg.values()) - min(marg.values()) <= 1
+        assert sum(marg.values()) == total
