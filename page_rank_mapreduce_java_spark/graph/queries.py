@@ -711,6 +711,117 @@ def q_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(directed_supplier_edges(spark, sf_dir))
 
 
+JACCARD_TOP = 50
+
+
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 supplier pairs by neighborhood Jaccard similarity
+    |N(u)∩N(v)| / |N(u)∪N(v)| — common-neighbors normalized by degree,
+    the other standard link-prediction score (a pair sharing 3 of their
+    4 partners outranks a hub pair sharing 30 of 300).
+
+    Shape: rides the SAME hub-capped wedge chassis as
+    q_common_neighbors (candidate pairs only ever come from the capped
+    wedge join — never all pairs), then joins TRUE degrees (computed on
+    the uncapped symmetric relation, one dst-keyed aggregate) back on u
+    and v. Jaccard in exact integer ppm via div — no float division.
+    The oracle mirrors cap, degrees, and the ppm arithmetic verbatim.
+    """
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    cn = common_neighbor_counts(sym, deg_cap=COMMON_NEIGHBORS_DEG_CAP)
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    return (
+        cn.join(du, "u")
+        .join(dv, "v")
+        .withColumn(
+            "jacc_ppm",
+            F.expr("(n_common * 1000000) div (du + dv - n_common)"),
+        )
+        .select("u", "v", "n_common", "jacc_ppm")
+        .orderBy(F.desc("jacc_ppm"), F.asc("u"), F.asc("v"))
+        .limit(JACCARD_TOP)
+    )
+
+
+JACCARD_NEIGHBORS_SQL = f"""
+    WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+    keep AS (SELECT dst FROM sym GROUP BY dst
+             HAVING COUNT(*) <= {COMMON_NEIGHBORS_DEG_CAP}),
+    symc AS (SELECT s.src, s.dst FROM sym s JOIN keep USING (dst)),
+    p AS (
+      SELECT a.src AS u, b.src AS v, COUNT(*) AS n_common
+      FROM symc a JOIN symc b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+           CAST((n_common * 1000000) // (du.d + dv.d - n_common) AS BIGINT)
+             AS jacc_ppm
+    FROM p JOIN deg du ON p.u = du.id JOIN deg dv ON p.v = dv.id
+    ORDER BY jacc_ppm DESC, u, v LIMIT {JACCARD_TOP}
+"""
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient 2·T(v) / (d(v)·(d(v)−1))
+    in integer ppm — how close each supplier's partner set is to a
+    clique (the transitivity profile of the co-occurrence graph).
+
+    Shape: per-node triangle counts from the degree-oriented wedge
+    counter (graph/motifs.triangle_counts — O(m^1.5) wedge volume, the
+    100×-scale plan) joined with the undirected degree aggregate; the
+    coefficient is pure integer arithmetic (div), 0 for d < 2 nodes.
+    """
+    from page_rank_mapreduce_java_spark.graph.motifs import triangle_counts
+
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        triangle_counts(e)
+        .join(deg, "id")
+        .withColumn(
+            "coeff_ppm",
+            F.expr(
+                "CASE WHEN deg >= 2 THEN (2 * triangles * 1000000)"
+                " div (deg * (deg - 1)) ELSE 0 END"
+            ).cast("long"),
+        )
+        .select("id", "triangles", "deg", "coeff_ppm")
+    )
+
+
+def _clustering_coeff_oracle_sql() -> str:
+    from page_rank_mapreduce_java_spark.graph.motifs import triangles_sql
+
+    tri = triangles_sql(COOC_EDGES_SQL)
+    return f"""
+    WITH tri AS MATERIALIZED ({tri}),
+    e2 AS MATERIALIZED ({COOC_EDGES_SQL}),
+    sym2 AS (SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2),
+    deg2 AS (SELECT src AS id, COUNT(*) AS deg FROM sym2 GROUP BY 1)
+    SELECT tri.id, CAST(tri.triangles AS BIGINT) AS triangles,
+           CAST(deg2.deg AS BIGINT) AS deg,
+           CAST(CASE WHEN deg2.deg >= 2
+                     THEN (2 * tri.triangles * 1000000)
+                          // (deg2.deg * (deg2.deg - 1))
+                     ELSE 0 END AS BIGINT) AS coeff_ppm
+    FROM tri JOIN deg2 ON tri.id = deg2.id
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_pagerank_weighted": q_pagerank_weighted,
@@ -731,6 +842,8 @@ QUERIES = {
     "graph_scc_fwbw": q_scc_fwbw,
     "graph_lpa_communities": q_lpa_communities,
     "graph_sssp_weighted": q_sssp_weighted,
+    "graph_jaccard_neighbors": q_jaccard_neighbors,
+    "graph_clustering_coeff": q_clustering_coeff,
 }
 
 ORACLES = {
@@ -764,6 +877,7 @@ ORACLES = {
     "graph_scc_fwbw": _scc_oracle_sql(),
     "graph_lpa_communities": _lpa_oracle_sql(),
     "graph_sssp_weighted": _sssp_oracle_sql(),
+    "graph_jaccard_neighbors": JACCARD_NEIGHBORS_SQL,
 }
 
 # Import placed late to keep the oracle builders' reading order; the
@@ -773,3 +887,4 @@ from page_rank_mapreduce_java_spark.graph.motifs import kcore_sql, triangles_sql
 ORACLES["graph_triangle_counts"] = triangles_sql(COOC_EDGES_SQL)
 ORACLES["graph_kcore"] = kcore_sql(COOC_EDGES_SQL, k=KCORE_K, rounds=KCORE_ROUNDS)
 ORACLES["graph_hits"] = _hits_oracle_sql()
+ORACLES["graph_clustering_coeff"] = _clustering_coeff_oracle_sql()
