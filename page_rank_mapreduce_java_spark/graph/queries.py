@@ -822,6 +822,60 @@ def _clustering_coeff_oracle_sql() -> str:
 """
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-occurrence graph: the Pearson
+    correlation of (deg(u), deg(v)) over the symmetrized edge ends, in
+    integer ppm — positive means hubs link to hubs (social-network
+    shape), negative means hubs link to leaves (star/hub-spoke shape).
+
+    Shape: one degree aggregate, two broadcast-joinable maps back onto
+    the edge ends (the degree relation is node-sized — orders smaller
+    than edges; at web scale it shuffle-joins on the same src/dst keys
+    the degree aggregate just produced), one corr() co-moment pass.
+    """
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(F.col("id").alias("src"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("dst"), F.col("d").alias("dv"))
+    return (
+        sym.join(du, "src")
+        .join(dv, "dst")
+        .agg(
+            # corr is undefined when one side has zero degree variance
+            # (a regular graph — the sf0.001 fixture): Spark's ANSI-mode
+            # corr raises DIVIDE_BY_ZERO there, so the ratio is formed
+            # explicitly with try_divide; sentinel −2·10⁶ is outside
+            # corr's ppm range and NULL-free on both engines
+            # (canonicalization policy, tools/canon_audit.py).
+            F.coalesce(
+                F.round(
+                    F.try_divide(
+                        F.covar_pop("du", "dv"),
+                        F.stddev_pop("du") * F.stddev_pop("dv"),
+                    )
+                    * 1e6
+                ).cast("long"),
+                F.lit(-2_000_000),
+            ).alias("assortativity_ppm")
+        )
+    )
+
+
+ASSORTATIVITY_SQL = f"""
+    WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1)
+    SELECT COALESCE(CAST(ROUND(corr(du.d, dv.d) * 1e6, 0) AS BIGINT),
+                    -2000000) AS assortativity_ppm
+    FROM sym JOIN deg du ON sym.src = du.id JOIN deg dv ON sym.dst = dv.id
+"""
+
+
 QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_pagerank_weighted": q_pagerank_weighted,
@@ -844,6 +898,7 @@ QUERIES = {
     "graph_sssp_weighted": q_sssp_weighted,
     "graph_jaccard_neighbors": q_jaccard_neighbors,
     "graph_clustering_coeff": q_clustering_coeff,
+    "graph_degree_assortativity": q_degree_assortativity,
 }
 
 ORACLES = {
@@ -878,6 +933,7 @@ ORACLES = {
     "graph_lpa_communities": _lpa_oracle_sql(),
     "graph_sssp_weighted": _sssp_oracle_sql(),
     "graph_jaccard_neighbors": JACCARD_NEIGHBORS_SQL,
+    "graph_degree_assortativity": ASSORTATIVITY_SQL,
 }
 
 # Import placed late to keep the oracle builders' reading order; the

@@ -608,6 +608,92 @@ SAMPLE_PER_LANG_SQL = f"""
 """
 
 
+# --- order inter-arrival statistics ------------------------------------------
+
+
+def q_order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order gap statistics (count / mean in integer
+    milli-days / max) for customers with ≥ 2 orders — the cadence
+    profile behind churn features and the event-time analogue of
+    sessionization with per-entity LAG.
+
+    Scale shape: one LAG window partitioned on the high-cardinality
+    customer key (parallelism tracks customers), then a customer-keyed
+    aggregate that reuses the same exchange. Gaps are exact integer
+    day differences — only the mean is scaled-rounded.
+    """
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", F.to_date("o_orderdate").alias("day"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        o.withColumn("_prev", F.lag("day").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("gap", F.datediff("day", "_prev"))
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap") * 1e3).cast("long").alias("avg_gap_milli"),
+        F.max("gap").cast("long").alias("max_gap"),
+    )
+
+
+INTERARRIVAL_SQL = """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, o_orderkey
+               FROM orders),
+    g AS (
+      SELECT o_custkey, day,
+             lag(day) OVER (PARTITION BY o_custkey
+                            ORDER BY day, o_orderkey) AS prev
+      FROM o
+    )
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(ROUND(AVG(datediff('day', prev, day)) * 1e3, 0) AS BIGINT)
+             AS avg_gap_milli,
+           CAST(MAX(datediff('day', prev, day)) AS BIGINT) AS max_gap
+    FROM g WHERE prev IS NOT NULL GROUP BY 1
+"""
+
+
+# --- per-source duplication rate ---------------------------------------------
+
+
+def q_text_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per document source: total docs, distinct
+    content digests, and redundant copies as ppm of the source's docs —
+    the per-domain curation health metric (which crawl sources are
+    pasting the same page back).
+
+    Scale shape: one source-keyed aggregate combining COUNT and
+    COUNT(DISTINCT md5) — Spark plans distinct-aggregate expansion with
+    partial aggregation on (source, digest); no pair joins, no windows.
+    Pure integer output (ppm via div).
+    """
+    d = load_table(spark, "documents", sf_dir).select(
+        "source", F.md5(F.col("text")).alias("_dig")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("_dig").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("((n_docs - n_distinct) * 1000000) div n_docs"),
+        )
+    )
+
+
+DUP_RATE_SQL = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "basket_pair_counts": q_basket_pair_counts,
     "event_type_transitions": q_event_type_transitions,
@@ -621,6 +707,8 @@ QUERIES = {
     "rolling_7d_distinct_users": q_rolling_7d_distinct_users,
     "rfm_segments": q_rfm_segments,
     "sample_per_lang_topk": q_sample_per_lang_topk,
+    "order_interarrival_stats": q_order_interarrival_stats,
+    "text_dup_rate_by_source": q_text_dup_rate_by_source,
 }
 
 ORACLES = {
@@ -636,4 +724,6 @@ ORACLES = {
     "rolling_7d_distinct_users": ROLLING_DISTINCT_SQL,
     "rfm_segments": RFM_SQL,
     "sample_per_lang_topk": SAMPLE_PER_LANG_SQL,
+    "order_interarrival_stats": INTERARRIVAL_SQL,
+    "text_dup_rate_by_source": DUP_RATE_SQL,
 }
