@@ -71,6 +71,11 @@ HEADLINE = [
     "dedup_ngram_containment",
     "join_bitmap_semi_orders",
     "text_vocab_coverage",
+    # round 4 additions (statistical-mining batch)
+    "basket_pair_counts",
+    "rfm_segments",
+    "graph_clustering_coeff",
+    "rolling_7d_distinct_users",
 ]
 
 

@@ -522,11 +522,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last order day), frequency (order count), monetary (total cents),
     then count customers per (r, f, m) cell — 4³ = 64 segments max.
 
-    Scale shape: one orders aggregate to customer grain, then THREE
-    global NTILEs — each on the scalable two-pass range-partitioned
-    ranking chassis (operators/ranking.global_ntile), never a
-    single-task global window. Tiebreak on custkey makes every quartile
-    assignment a total order, so the DuckDB ntile mirrors exactly.
+    Scale shape: one orders aggregate to customer grain, PERSISTED
+    (each ntile chassis references its input several times — rank
+    relation, per-partition counts, total; chaining three of them over
+    live lineage multiplies the whole orders scan ~200-fold in the
+    static plan, measured in PLANS.md before this cut), then THREE
+    INDEPENDENT global NTILEs over the cached customer relation — each
+    on the scalable two-pass range-partitioned ranking chassis
+    (operators/ranking.global_ntile), never a single-task global
+    window — joined back on the customer key. Tiebreak on custkey
+    makes every quartile assignment a total order, so the DuckDB ntile
+    mirrors exactly.
     """
     c = (
         load_table(spark, "orders", sf_dir)
@@ -536,18 +542,22 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("freq"),
             F.sum(_cents("o_totalprice")).alias("monet"),
         )
+        .persist()
     )
-    c = global_ntile(
+    r = global_ntile(
         c, RFM_TILES, [F.asc("last_day"), F.asc("o_custkey")], out_col="r_q"
-    )
-    c = global_ntile(
+    ).select("o_custkey", "r_q")
+    f = global_ntile(
         c, RFM_TILES, [F.asc("freq"), F.asc("o_custkey")], out_col="f_q"
-    )
-    c = global_ntile(
+    ).select("o_custkey", "f_q")
+    m = global_ntile(
         c, RFM_TILES, [F.asc("monet"), F.asc("o_custkey")], out_col="m_q"
-    )
-    return c.groupBy("r_q", "f_q", "m_q").agg(
-        F.count(F.lit(1)).alias("n_customers")
+    ).select("o_custkey", "m_q")
+    return (
+        r.join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )
 
 
