@@ -39,6 +39,14 @@ QUERIES_UNDER_TEST = [
     "events_funnel_conversion",
     "window_percent_rank",
     "agg_mad_robust",
+    # third wave (round-4 statistical-mining batch): partition-local
+    # top-k pruning, three-way ntile chassis, bounded-window skyline,
+    # float-rounded information statistics
+    "sample_per_lang_topk",
+    "rfm_segments",
+    "skyline_parts",
+    "user_event_entropy",
+    "graph_jaccard_neighbors",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
