@@ -727,6 +727,10 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     and v. Jaccard in exact integer ppm via div — no float division.
     The oracle mirrors cap, degrees, and the ppm arithmetic verbatim.
     """
+    # The edge relation is referenced 4× (degree agg + wedge sides);
+    # no persist: runtime ReusedExchange computes the identical
+    # subtree once, and persist() measured 3× slower at sf0.1
+    # (cache materialization + lost stage fusion — PERF.md).
     e = cooccurrence_edges(spark, sf_dir)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -782,6 +786,11 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from page_rank_mapreduce_java_spark.graph.motifs import triangle_counts
 
+    # The triangle counter references the edge relation three times
+    # (orientation join ×2 + closing edge) and the degree aggregate a
+    # fourth; the static plan shows 31 exchanges but runtime
+    # ReusedExchange collapses the identical subtrees — persist() was
+    # measured 2.5× SLOWER at sf0.1 (PERF.md), so the lineage stays.
     e = cooccurrence_edges(spark, sf_dir)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

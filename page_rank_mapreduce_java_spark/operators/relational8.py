@@ -522,17 +522,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last order day), frequency (order count), monetary (total cents),
     then count customers per (r, f, m) cell — 4³ = 64 segments max.
 
-    Scale shape: one orders aggregate to customer grain, PERSISTED
-    (each ntile chassis references its input several times — rank
-    relation, per-partition counts, total; chaining three of them over
-    live lineage multiplies the whole orders scan ~200-fold in the
-    static plan, measured in PLANS.md before this cut), then THREE
-    INDEPENDENT global NTILEs over the cached customer relation — each
-    on the scalable two-pass range-partitioned ranking chassis
-    (operators/ranking.global_ntile), never a single-task global
-    window — joined back on the customer key. Tiebreak on custkey
-    makes every quartile assignment a total order, so the DuckDB ntile
-    mirrors exactly.
+    Scale shape: one orders aggregate to customer grain, then THREE
+    INDEPENDENT global NTILEs — each on the scalable two-pass
+    range-partitioned ranking chassis (operators/ranking.global_ntile),
+    never a single-task global window — joined back on the customer
+    key. Independent-then-join instead of chaining matters: each ntile
+    chassis references its input several times, so chaining three of
+    them compounds the lineage ~200-fold in the static plan (215
+    exchanges, PLANS.md before the cut) and ran 2.2× slower. The shared
+    customer aggregate is deliberately NOT persisted: Spark's runtime
+    ReusedExchange already computes the identical aggregate subtree
+    once, while persist() was measured 3–7× SLOWER here (cache
+    materialization + losing whole-stage fusion; A/B at sf0.1:
+    joined 1.9 s, chained 4.2 s, joined+persist 6–14 s — PERF.md).
+    Tiebreak on custkey makes every quartile assignment a total order,
+    so the DuckDB ntile mirrors exactly.
     """
     c = (
         load_table(spark, "orders", sf_dir)
@@ -542,7 +546,6 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("freq"),
             F.sum(_cents("o_totalprice")).alias("monet"),
         )
-        .persist()
     )
     r = global_ntile(
         c, RFM_TILES, [F.asc("last_day"), F.asc("o_custkey")], out_col="r_q"
