@@ -142,3 +142,74 @@ def test_ntile_rfm_buckets_are_balanced(spark):
         assert set(marg) <= set(range(1, RFM_TILES + 1))
         assert max(marg.values()) - min(marg.values()) <= 1
         assert sum(marg.values()) == total
+
+
+def test_basket_cap_bounds_pair_volume(spark):
+    """A pathological giant basket must be EXCLUDED by the cap, not
+    explode into |basket|² pairs — the 100 TB guard of the association
+    miner (one crawler cart must not emit 10¹⁰ pairs)."""
+    from page_rank_mapreduce_java_spark.operators.relational8 import BASKET_CAP
+
+    # 40 normal 3-item baskets + one 200-item monster
+    rows = [(o, p) for o in range(40) for p in (o, o + 1, o + 2)]
+    rows += [(999, p) for p in range(200)]
+    items = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG").distinct()
+    keep = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
+    i = items.join(keep, "l_orderkey")
+    a, b = i.alias("a"), i.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    n = pairs.count()
+    # 40 baskets × C(3,2)=3 pairs; the monster contributes ZERO
+    assert n == 120
+    # monster order never appears on either side
+    assert pairs.filter(F.col("a.l_orderkey") == 999).count() == 0
+
+
+def test_entropy_and_information_stat_bounds(spark, sf_dir):
+    """Analytic invariants of the information statistics: per-user
+    entropy in [0, ln(#event types)]·1e6; a single-type user scores
+    exactly 0; chi-square is non-negative."""
+    import math
+
+    from page_rank_mapreduce_java_spark.operators.relational8 import (
+        q_chi2_flag_status,
+        q_user_event_entropy,
+    )
+    from page_rank_mapreduce_java_spark.catalog import load_table
+
+    ent = q_user_event_entropy(spark, sf_dir).collect()
+    n_types = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    hi = math.log(n_types) * 1e6 + 1  # +1 for the rounding ulp
+    assert all(0 <= r.entropy_micro <= hi for r in ent)
+
+    # a synthetic one-type user has exactly zero entropy
+    one = spark.createDataFrame(
+        [(1, "view", i) for i in range(5)], "user_id LONG, event_type STRING, n LONG"
+    )
+    c = one.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    z = (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(F.sum(-p * F.log(p)) * 1e6).cast("long").alias("e"))
+        .first()
+    )
+    assert z.e == 0
+
+    chi = q_chi2_flag_status(spark, sf_dir).first()
+    assert chi.chi2_milli >= 0
