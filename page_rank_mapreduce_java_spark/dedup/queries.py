@@ -765,8 +765,13 @@ def q_dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: candidate pairs (banded equi-join, never all-pairs) joined
     twice against the signature relation on doc_id — both are doc-keyed
-    equi-joins. Integer output (k_agree, ppm units)."""
-    sig = _signatures(spark, sf_dir).persist()
+    equi-joins. Integer output (k_agree, ppm units).
+
+    No persist on the signature relation: both join sides read the same
+    aggregate subtree and runtime ReusedExchange computes it once —
+    persist() measured ~25% slower steady-state plus a 4× cold-run
+    spike at sf0.1 (the r4 persist-vs-ReusedExchange lesson, PERF.md)."""
+    sig = _signatures(spark, sf_dir)
     pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -821,11 +826,13 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-bounded verification pattern, never all-pairs. All-integer
     output: sizes, intersection count, and ppm via integer div."""
     d = load_table(spark, "documents", sf_dir)
+    # No persist: the shingle relation's three readers share one
+    # ReusedExchange; caching it measured ~20% slower steady-state with
+    # a 4× cold-run spike at sf0.1 (PERF.md persist lesson).
     sh = (
         d.select("doc_id", words(F.col("text")).alias("w"))
         .select("doc_id", F.explode(word_shingles("w")).alias("s"))
         .distinct()
-        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir)
