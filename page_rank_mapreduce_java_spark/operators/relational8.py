@@ -707,6 +707,98 @@ DUP_RATE_SQL = """
 """
 
 
+# --- deterministic MODE aggregate --------------------------------------------
+
+
+def q_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: each user's most frequent event type (ties →
+    lexicographically largest type). SQL's MODE() is tie-nondeterministic
+    in both engines, so the engine form is the struct-max aggregate (the
+    same argmax technique as graph LPA's per-node label vote): max over
+    (count, type) pairs picks the highest count and breaks ties on the
+    type ordering — one extra hash aggregate, NO window.
+
+    Scale shape: two user-keyed aggregates back to back (the second
+    reuses the first's exchange under AQE); parallelism tracks users.
+    """
+    c = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = c.groupBy("user_id").agg(
+        F.max(F.struct(F.col("n"), F.col("event_type"))).alias("_b")
+    )
+    return best.select(
+        "user_id",
+        F.col("_b.event_type").alias("mode_type"),
+        F.col("_b.n").alias("n"),
+    )
+
+
+MODE_EVENT_SQL = """
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY n DESC, event_type DESC) AS rn FROM c)
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+"""
+
+
+# --- DAU / WAU stickiness ----------------------------------------------------
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily stickiness: DAU / trailing-7-day WAU in ppm, per day — the
+    engagement ratio stacked on the sliding-distinct operator.
+
+    Scale shape: both distinct counts come from ONE deduped (day, user)
+    relation (DAU directly; WAU via the bounded ×7 fan-out of
+    q_rolling_7d_distinct_users); the final join is day-keyed over a
+    days-sized relation. Integer ppm via div.
+    """
+    e = load_table(spark, "events", sf_dir)
+    pairs = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = pairs.select("day").distinct().withColumnRenamed("day", "anchor")
+    wau = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("anchor"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "anchor")
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .withColumnRenamed("anchor", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
+        )
+    )
+
+
+DAU_WAU_SQL = """
+    WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                   FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY 1),
+    days AS (SELECT DISTINCT day FROM pairs),
+    wau AS (SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+            FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+            GROUP BY 1)
+    SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau USING (day)
+"""
+
+
 QUERIES = {
     "basket_pair_counts": q_basket_pair_counts,
     "event_type_transitions": q_event_type_transitions,
@@ -722,6 +814,8 @@ QUERIES = {
     "sample_per_lang_topk": q_sample_per_lang_topk,
     "order_interarrival_stats": q_order_interarrival_stats,
     "text_dup_rate_by_source": q_text_dup_rate_by_source,
+    "mode_event_type_per_user": q_mode_event_type_per_user,
+    "dau_wau_stickiness": q_dau_wau_stickiness,
 }
 
 ORACLES = {
@@ -739,4 +833,6 @@ ORACLES = {
     "sample_per_lang_topk": SAMPLE_PER_LANG_SQL,
     "order_interarrival_stats": INTERARRIVAL_SQL,
     "text_dup_rate_by_source": DUP_RATE_SQL,
+    "mode_event_type_per_user": MODE_EVENT_SQL,
+    "dau_wau_stickiness": DAU_WAU_SQL,
 }
