@@ -213,3 +213,19 @@ def test_entropy_and_information_stat_bounds(spark, sf_dir):
 
     chi = q_chi2_flag_status(spark, sf_dir).first()
     assert chi.chi2_milli >= 0
+
+
+def test_mode_tiebreak_is_deterministic(spark):
+    """Equal counts must resolve to the lexicographically LARGEST type —
+    the documented tie rule the oracle mirrors (ORDER BY n DESC, type
+    DESC), never engine-dependent MODE() roulette."""
+    rows = [(1, "click"), (1, "view"), (1, "view"), (1, "click"), (2, "view")]
+    e = spark.createDataFrame(rows, "user_id LONG, event_type STRING")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    best = c.groupBy("user_id").agg(
+        F.max(F.struct(F.col("n"), F.col("event_type"))).alias("_b")
+    )
+    got = {
+        r.user_id: (r._b.event_type, r._b.n) for r in best.collect()
+    }
+    assert got == {1: ("view", 2), 2: ("view", 1)}
