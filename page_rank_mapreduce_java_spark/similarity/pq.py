@@ -175,3 +175,93 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adc_sq")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_sub: int = PQ_M,
+    k: int = 10,
+    n_probe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the standard large-scale ANN pairing: the IVF coarse
+    quantizer prunes WHICH cells to search (candidates shrink
+    ~n_probe/n_centroids), then ADC scores the survivors from their
+    4-byte codes instead of raw vectors. At 100 TB the search-side I/O
+    is (codes of probed cells) + one broadcast LUT — neither scales
+    with raw vector bytes.
+
+    Composition of existing pieces only: ann.kmeans_train/ivf_assign
+    for cells, pq_train/pq_encode for codes, and the pq_topk ADC scored
+    over the cell-pruned codes relation. Returns DataFrame[query_id,
+    neighbor_id, adc_sq].
+    """
+    from page_rank_mapreduce_java_spark.functions.vectors import cosine
+    from page_rank_mapreduce_java_spark.similarity.ann import (
+        ivf_assign,
+        kmeans_train,
+    )
+
+    centroids = kmeans_train(corpus, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+
+    codebook = pq_train(corpus, dim=dim, n_sub=n_sub, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, codebook, dim=dim, n_sub=n_sub, id_col=id_col, vec_col=vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qvec"), F.col("cvec"))), F.asc("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(centroids), F.lit(True))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    # Per-query candidate vec_ids = members of probed cells; restrict the
+    # codes relation to them via the (query_id, vec_id) pair set, then
+    # ADC exactly as pq_topk but with the pair join replacing the full
+    # codes × queries product.
+    cand = probes.join(
+        cells.withColumnRenamed(id_col, "vec_id"), "centroid_id"
+    ).select("query_id", "vec_id")
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        subvector(vec_col, m, n_sub, dim).alias("qv"),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.qv").alias("qv"))
+    lut = qs.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "m",
+        F.col("centroid_id").alias("code"),
+        sq_l2(F.col("qv"), F.col("cvec")).alias("dsq"),
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dsq").alias("adc_sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_sq")
+    )

@@ -109,3 +109,28 @@ def test_recall_against_exact_l2(spark, corpus, codebook):
     want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.25, f"PQ recall {recall:.2f} below floor"
+
+
+def test_ivfpq_subset_consistency(spark, corpus):
+    """IVF-PQ results must be a per-query subset of the FULL ADC ranking
+    restricted to probed cells: every returned neighbor's adc_sq must
+    equal the plain-PQ adc_sq for that (query, neighbor) — cell pruning
+    changes WHICH pairs are scored, never the score."""
+    from page_rank_mapreduce_java_spark.similarity.pq import ivfpq_topk
+
+    q = corpus.orderBy("vec_id").limit(5)
+    cb = pq_train(corpus, dim=DIM)
+    codes = pq_encode(corpus, cb, dim=DIM)
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_sq
+        for r in pq_topk(codes, cb, q, dim=DIM, k=499).collect()
+    }
+    got = ivfpq_topk(corpus, q, dim=DIM, k=10).collect()
+    assert len(got) > 0
+    for r in got:
+        assert (r.query_id, r.neighbor_id) in full
+        assert r.adc_sq == pytest.approx(full[(r.query_id, r.neighbor_id)], rel=1e-12)
+    # ≤ k rows per query
+    from collections import Counter
+    per_q = Counter(r.query_id for r in got)
+    assert all(v <= 10 for v in per_q.values())
