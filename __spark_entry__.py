@@ -130,6 +130,15 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+# Queries registered late in round 4, AFTER the 50-slot window was
+# exactly full (49 never-checked + the dedup_clusters re-cert the r3
+# verdict directed): deferring THEM — rather than letting module order
+# evict backlog items — keeps the window spent on the recorded backlog.
+# Both are local-green at sf0.001 and sf0.01 (tools/check_oracle.py).
+# REMOVE these entries in round 5 so they earn driver evidence then.
+_DEFER_TO_NEXT_ROUND = frozenset({"ann_pq_codebook", "ann_pq_topk"})
+
+
 def _audit_order(q: dict, o: dict) -> list[str]:
     try:
         with open(_EVIDENCE_PATH) as f:
@@ -139,6 +148,8 @@ def _audit_order(q: dict, o: dict) -> list[str]:
 
     def group(name: str) -> int:
         if name == "agg_approx_distinct":
+            return 5
+        if name in _DEFER_TO_NEXT_ROUND:
             return 4
         ev = evidence.get(name)
         if ev is None:

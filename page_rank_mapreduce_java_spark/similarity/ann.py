@@ -193,12 +193,16 @@ def kmeans_train(
 
 def kmeans_sql(
     k: int = 16, iters: int = 2, table: str = "embeddings",
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", prefix: str = "",
 ) -> tuple[str, str]:
     """DuckDB CTE chain computing the identical trained centroids.
-    Returns (cte_body, final_cte_name); embed as ``WITH {cte_body} ...``."""
+    Returns (cte_body, final_cte_name); embed as ``WITH {cte_body} ...``.
+    ``prefix`` namespaces the CTE names (c0, a1, d1, ...) so several
+    chains can coexist in one statement (the PQ per-subspace codebooks);
+    the default "" renders byte-identically to the pre-prefix form, so
+    existing oracle hashes are unchanged."""
     parts = [
-        f"""c0 AS MATERIALIZED (
+        f"""{prefix}c0 AS MATERIALIZED (
         SELECT {id_col} AS centroid_id,
                list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cvec
         FROM {table} ORDER BY {id_col} LIMIT {k})"""
@@ -206,30 +210,30 @@ def kmeans_sql(
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(
-            f"""a{i} AS MATERIALIZED (
+            f"""{prefix}a{i} AS MATERIALIZED (
         SELECT vid, centroid_id FROM (
           SELECT e.{id_col} AS vid, c.centroid_id,
                  row_number() OVER (PARTITION BY e.{id_col}
                    ORDER BY {cosine_sql(f'e.{vec_col}', 'c.cvec')} DESC,
                             c.centroid_id ASC) AS rn
-          FROM {table} e CROSS JOIN c{p} c) WHERE rn = 1),
-      d{i} AS MATERIALIZED (
+          FROM {table} e CROSS JOIN {prefix}c{p} c) WHERE rn = 1),
+      {prefix}d{i} AS MATERIALIZED (
         SELECT centroid_id, pos,
                CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS DOUBLE)
                  / COUNT(*) / 1e6 AS val
         FROM (SELECT a.centroid_id,
                      unnest(range(1, len(e.{vec_col}) + 1)) AS pos,
                      unnest(e.{vec_col}) AS x
-              FROM a{i} a JOIN {table} e ON e.{id_col} = a.vid)
+              FROM {prefix}a{i} a JOIN {table} e ON e.{id_col} = a.vid)
         GROUP BY centroid_id, pos),
-      m{i} AS MATERIALIZED (
+      {prefix}m{i} AS MATERIALIZED (
         SELECT centroid_id, list(val ORDER BY pos) AS mvec
-        FROM d{i} GROUP BY centroid_id),
-      c{i} AS MATERIALIZED (
+        FROM {prefix}d{i} GROUP BY centroid_id),
+      {prefix}c{i} AS MATERIALIZED (
         SELECT c.centroid_id, COALESCE(m.mvec, c.cvec) AS cvec
-        FROM c{p} c LEFT JOIN m{i} m USING (centroid_id))"""
+        FROM {prefix}c{p} c LEFT JOIN {prefix}m{i} m USING (centroid_id))"""
         )
-    return ",\n      ".join(parts), f"c{iters}"
+    return ",\n      ".join(parts), f"{prefix}c{iters}"
 
 
 def ivf_topk(

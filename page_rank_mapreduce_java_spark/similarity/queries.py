@@ -96,6 +96,178 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_DIM = 64
+PQ_QUERY_VECS = 10
+PQ_TOP_K = 5
+
+
+def q_ann_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained product-quantization codebook as a first-class query:
+    (m, centroid_id, pos, centroid_e6) — per-subspace Lloyd centroids in
+    integer micro-units (the embedding_kmeans_centroids convention).
+    Training is the deterministic k-means chassis per 16-dim slice, so
+    the DuckDB oracle unrolls FOUR namespaced kmeans chains over sliced
+    list columns and must match bit-for-bit."""
+    from page_rank_mapreduce_java_spark.similarity.pq import pq_train
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = pq_train(e, dim=PQ_DIM)
+    return cb.select(
+        F.col("m").cast("long").alias("m"),
+        "centroid_id",
+        F.posexplode("cvec").alias("pos0", "v"),
+    ).select(
+        "m",
+        "centroid_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.round(F.col("v") * 1e6).cast("long").alias("centroid_e6"),
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 per query over PQ codes, fully integer: each of the M
+    partial squared-L2 distances is snapped to micro-units BEFORE the
+    sum (order-independent integer addition — the vector variant of the
+    money convention), so `adc_micro` and its ranking are bit-identical
+    across engines. Corpus side reads ONLY the codes relation.
+
+    Scale shape: encode = one narrow corpus pass (broadcast codebook,
+    per-(vec, subspace) argmin window on a high-cardinality key);
+    search = codes ⋈ broadcast LUT + keyed sum + per-query top-k
+    window — no raw vectors at query time (similarity/pq.py)."""
+    from page_rank_mapreduce_java_spark.functions.vectors import sq_l2
+    from page_rank_mapreduce_java_spark.similarity.pq import (
+        PQ_M,
+        pq_encode,
+        pq_train,
+        subvector,
+    )
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cb = pq_train(e, dim=PQ_DIM)
+    codes = pq_encode(e, cb, dim=PQ_DIM)
+    q = e.filter(F.col("vec_id") < PQ_QUERY_VECS)
+    qs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        subvector("embedding", m, PQ_M, PQ_DIM).alias("qv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.qv").alias("qv"))
+    lut = qs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("centroid_id").alias("code"),
+        F.round(sq_l2(F.col("qv"), F.col("cvec")) * 1e6)
+        .cast("long")
+        .alias("dmicro"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_micro")
+    )
+
+
+def _pq_oracle_parts() -> tuple[str, str]:
+    """(cte_body, codebook_cte): four namespaced kmeans chains over the
+    16-dim slices + the union codebook + the per-vector slice relation."""
+    from page_rank_mapreduce_java_spark.similarity.pq import PQ_K, PQ_M
+
+    width = PQ_DIM // PQ_M
+    subs, chains, unions, slices = [], [], [], []
+    for m in range(PQ_M):
+        lo, hi = m * width + 1, (m + 1) * width
+        subs.append(
+            f"sub{m} AS MATERIALIZED (SELECT vec_id, "
+            f"embedding[{lo}:{hi}] AS embedding FROM embeddings)"
+        )
+        ctes, final = kmeans_sql(
+            k=PQ_K, iters=KMEANS_ITERS, table=f"sub{m}", prefix=f"s{m}_"
+        )
+        chains.append(ctes)
+        unions.append(
+            f"SELECT {m} AS m, centroid_id, cvec FROM {final}"
+        )
+        slices.append(
+            f"SELECT vec_id, {m} AS m, embedding[{lo}:{hi}] AS sv FROM embeddings"
+        )
+    body = (
+        ",\n    ".join(subs)
+        + ",\n    "
+        + ",\n    ".join(chains)
+        + ",\n    cb AS MATERIALIZED ("
+        + " UNION ALL ".join(unions)
+        + "),\n    slices AS MATERIALIZED ("
+        + " UNION ALL ".join(slices)
+        + ")"
+    )
+    return body, "cb"
+
+
+def _pq_codebook_sql() -> str:
+    body, cb = _pq_oracle_parts()
+    return f"""
+    WITH {body}
+    SELECT CAST(m AS BIGINT) AS m, centroid_id,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(ROUND(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT) AS centroid_e6
+    FROM (SELECT m, centroid_id,
+                 unnest(range(1, len(cvec) + 1)) AS pos,
+                 unnest(cvec) AS v
+          FROM {cb})
+"""
+
+
+def _pq_topk_sql() -> str:
+    from page_rank_mapreduce_java_spark.functions.vectors import sq_l2_sql
+
+    body, cb = _pq_oracle_parts()
+    return f"""
+    WITH {body},
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, centroid_id AS code FROM (
+        SELECT s.vec_id, s.m, c.centroid_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {sq_l2_sql('s.sv', 'c.cvec')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM slices s JOIN {cb} c ON s.m = c.m) WHERE rn = 1),
+    lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.m, c.centroid_id AS code,
+             CAST(ROUND({sq_l2_sql('q.sv', 'c.cvec')} * 1e6, 0) AS BIGINT)
+               AS dmicro
+      FROM slices q JOIN {cb} c ON q.m = c.m
+      WHERE q.vec_id < {PQ_QUERY_VECS}),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.dmicro) AS BIGINT) AS adc_micro
+      FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_micro, neighbor_id) AS rn FROM scored)
+    WHERE rn <= {PQ_TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_centroids": q_embedding_centroids,
@@ -103,6 +275,8 @@ QUERIES = {
     "ann_lsh_bucket_sizes": q_ann_lsh_bucket_sizes,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
+    "ann_pq_codebook": q_ann_pq_codebook,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 _KMEANS_CTES, _KMEANS_FINAL = kmeans_sql(k=IVF_CENTROIDS, iters=KMEANS_ITERS)
@@ -185,4 +359,6 @@ ORACLES = {
           JOIN embeddings n ON n.vec_id = c.neighbor_id)
         WHERE rn <= {TOP_K}
     """,
+    "ann_pq_codebook": _pq_codebook_sql(),
+    "ann_pq_topk": _pq_topk_sql(),
 }

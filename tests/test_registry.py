@@ -30,10 +30,15 @@ def _groups():
     o = entrymod.oracle_sql()
     with open(entrymod._EVIDENCE_PATH) as f:
         evidence = json.load(f)
+    deferred = getattr(entrymod, "_DEFER_TO_NEXT_ROUND", frozenset())
     backlog, new, green = [], [], []
     for name in q:
         ev = evidence.get(name)
-        if name in ROWS_ONLY_BY_DESIGN:
+        if name in ROWS_ONLY_BY_DESIGN or name in deferred:
+            # explicitly deferred entries sit past the window by design
+            # (registered after the round's window filled); they must
+            # not count as backlog NOR as green (a green would trip the
+            # ordering invariant since they sort last).
             continue
         if ev is None:
             new.append(name)

@@ -41,15 +41,16 @@ def main() -> int:
 
     with open(os.path.join(here, "query_evidence.json")) as f:
         ev = json.load(f)
+    deferred = getattr(entrymod, "_DEFER_TO_NEXT_ROUND", frozenset())
     backlog = {
         n
         for n, rec in ev.items()
         if rec.get("driver") == "never"
         or str(rec.get("driver", "")).startswith("fail")
         or rec.get("hash") != entrymod.query_hash(q[n], o.get(n))
-        if n in q
+        if n in q and n not in deferred
     }
-    new = set(q) - set(ev)
+    new = set(q) - set(ev) - deferred
     demand = len(backlog | new)
     window = list(q)[:WINDOW]
     stranded = sorted((backlog | new) - set(window))

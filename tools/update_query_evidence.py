@@ -101,10 +101,11 @@ def main() -> int:
         json.dump(evidence, f, indent=1, sort_keys=True)
 
     order = list(entrymod.queries())
+    deferred = getattr(entrymod, "_DEFER_TO_NEXT_ROUND", frozenset())
     groups = {0: [], 1: [], 2: [], 3: []}
     for n in order:
         ev = evidence[n]
-        if n == "agg_approx_distinct":
+        if n == "agg_approx_distinct" or n in deferred:
             groups[3].append(n)
         elif ev["driver"] == "never":
             groups[0].append(n)
@@ -116,7 +117,8 @@ def main() -> int:
     print(f"  never-checked : {len(groups[0])}")
     print(f"  fail/stale    : {len(groups[1])} {groups[1]}")
     print(f"  green         : {len(groups[2])}")
-    print(f"  tail          : {groups[3]}")
+    print(f"  tail          : {groups[3]}" +
+          (f" (deferred: {sorted(deferred)})" if deferred else ""))
     in_window = len(groups[0]) + len(groups[1])
     print(f"  audit-window demand: {in_window}/50" +
           (" — OVERFLOW, driver evidence will lag" if in_window > 50 else ""))
