@@ -178,3 +178,87 @@ def test_interval_overlap_matches_naive_join(spark, rows, chunk):
     )
     want = {(r.k, r.a_rid, r.b_rid, r.ol) for r in naive}
     assert got == want
+
+
+points = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(1, 10), st.integers(50, 150)),
+    min_size=1,
+    max_size=40,
+).map(lambda ps: sorted({(i, s, c) for i, s, c in ps}))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=points)
+def test_skyline_plan_matches_dominance_on_arbitrary_points(spark, pts):
+    """relational8's per-size-min + strictly-larger running-min skyline
+    == the quadratic NOT-EXISTS dominance definition, on arbitrary
+    (id, size, price) sets including duplicates and single-size data."""
+    from pyspark.sql.window import Window
+
+    p = spark.createDataFrame(pts, "p_partkey LONG, p_size INT, price_c LONG")
+    persize = p.groupBy("p_size").agg(F.min("price_c").alias("_minp"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fr = persize.withColumn("_cm", F.min("_minp").over(w))
+    got = sorted(
+        map(
+            tuple,
+            p.join(F.broadcast(fr), "p_size")
+            .filter(
+                (F.col("price_c") == F.col("_minp"))
+                & (F.col("_cm").isNull() | (F.col("price_c") < F.col("_cm")))
+            )
+            .select("p_partkey", "p_size", "price_c")
+            .collect(),
+        )
+    )
+    want = sorted(
+        (i, s, c)
+        for i, s, c in pts
+        if not any(
+            s2 >= s and c2 <= c and (s2 > s or c2 < c) for _, s2, c2 in pts
+        )
+    )
+    assert got == want
+
+
+grouped_rows = st.lists(
+    st.tuples(st.sampled_from("abc"), st.integers(0, 500), st.integers(0, 50)),
+    min_size=1,
+    max_size=60,
+).map(lambda rs: [(g, i, v) for i, (g, _, v) in enumerate(rs)])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=grouped_rows, k=st.integers(1, 8), parts=st.integers(1, 9))
+def test_grouped_topk_matches_window_on_arbitrary_data(spark, rows, k, parts):
+    """ranking.grouped_topk_low_cardinality == naive per-group window
+    for arbitrary data, k, and input partitioning."""
+    from pyspark.sql.window import Window
+
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        grouped_topk_low_cardinality,
+    )
+
+    df = spark.createDataFrame(rows, "g STRING, id LONG, v LONG").repartition(
+        parts
+    )
+    order = [F.asc("v"), F.asc("id")]
+    got = sorted(
+        map(
+            tuple,
+            grouped_topk_low_cardinality(df, ["g"], order, k).collect(),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .collect(),
+        )
+    )
+    assert got == want
