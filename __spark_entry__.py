@@ -136,7 +136,9 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # evict backlog items — keeps the window spent on the recorded backlog.
 # Both are local-green at sf0.001 and sf0.01 (tools/check_oracle.py).
 # REMOVE these entries in round 5 so they earn driver evidence then.
-_DEFER_TO_NEXT_ROUND = frozenset({"ann_pq_codebook", "ann_pq_topk"})
+_DEFER_TO_NEXT_ROUND = frozenset(
+    {"ann_pq_codebook", "ann_pq_topk", "dq_value_drift_psi"}
+)
 
 
 def _audit_order(q: dict, o: dict) -> list[str]:

@@ -799,6 +799,96 @@ DAU_WAU_SQL = """
 """
 
 
+# --- distribution drift (PSI) ------------------------------------------------
+
+PSI_SPLIT_DATE = "1998-01-01"
+PSI_BUCKETS = 10
+
+
+def q_dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of the order-value distribution
+    between a reference period (orders before PSI_SPLIT_DATE) and the
+    current period — THE snapshot-to-snapshot shift check a training
+    pipeline runs before trusting new data. Buckets are the reference
+    period's exact deciles (cents); PSI = Σ (p_cur − p_ref)·ln(p_cur/
+    p_ref) with +1 Laplace smoothing on every bucket count (keeps empty
+    buckets finite and is mirrored exactly in the oracle). Output: one
+    row (psi_micro, n_ref, n_cur).
+
+    Scale shape: decile boundaries are one exact-percentile aggregate
+    over the reference scan, broadcast back as a 9-element array; each
+    row buckets via array comparison (no join); two count aggregates
+    over ≤ PSI_BUCKETS groups; the PSI sum is arithmetic over 10 rows.
+    """
+    o = load_table(spark, "orders", sf_dir).select(
+        _cents("o_totalprice").alias("v"),
+        (F.to_date("o_orderdate") < F.lit(PSI_SPLIT_DATE)).alias("is_ref"),
+    )
+    qs = ", ".join(str(i / PSI_BUCKETS) for i in range(1, PSI_BUCKETS))
+    bounds = o.filter("is_ref").agg(
+        F.expr(f"percentile(v, array({qs}))").alias("bs")
+    )
+    bucketed = o.crossJoin(F.broadcast(bounds)).select(
+        "is_ref",
+        F.aggregate(
+            F.col("bs"), F.lit(0), lambda acc, b: acc + F.when(F.col("v") > b, 1).otherwise(0)
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref_b"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur_b"),
+    )
+    # Laplace: every one of the PSI_BUCKETS buckets exists by construction
+    # of the decile boundaries on the reference side; smoothing guards the
+    # current side (and degenerate duplicated-boundary buckets).
+    tot = counts.agg(
+        F.sum("n_ref_b").alias("tr"), F.sum("n_cur_b").alias("tc")
+    )
+    p_ref = (F.col("n_ref_b") + 1) / (F.col("tr") + PSI_BUCKETS)
+    p_cur = (F.col("n_cur_b") + 1) / (F.col("tc") + PSI_BUCKETS)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)) * 1e6)
+            .cast("long")
+            .alias("psi_micro"),
+            F.max("tr").alias("n_ref"),
+            F.max("tc").alias("n_cur"),
+        )
+    )
+
+
+_PSI_QS = ", ".join(str(i / PSI_BUCKETS) for i in range(1, PSI_BUCKETS))
+PSI_SQL = f"""
+    WITH o AS (SELECT {cents_sql('o_totalprice')} AS v,
+                      CAST(o_orderdate AS DATE) < DATE '{PSI_SPLIT_DATE}' AS is_ref
+               FROM orders),
+    bounds AS (SELECT quantile_cont(v, [{_PSI_QS}]) AS bs
+               FROM o WHERE is_ref),
+    bucketed AS (
+      SELECT is_ref,
+             list_reduce(list_prepend(0,
+               list_transform(bs, b -> CASE WHEN v > b THEN 1 ELSE 0 END)),
+               (acc, x) -> acc + x) AS bucket
+      FROM o, bounds),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref_b,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur_b
+      FROM bucketed GROUP BY 1),
+    tot AS (SELECT SUM(n_ref_b) AS tr, SUM(n_cur_b) AS tc FROM counts)
+    SELECT CAST(ROUND(SUM(
+             ((n_cur_b + 1.0) / (tc + {PSI_BUCKETS})
+              - (n_ref_b + 1.0) / (tr + {PSI_BUCKETS}))
+             * ln(((n_cur_b + 1.0) / (tc + {PSI_BUCKETS}))
+                  / ((n_ref_b + 1.0) / (tr + {PSI_BUCKETS})))) * 1e6, 0)
+           AS BIGINT) AS psi_micro,
+           CAST(MAX(tr) AS BIGINT) AS n_ref,
+           CAST(MAX(tc) AS BIGINT) AS n_cur
+    FROM counts, tot
+"""
+
+
 QUERIES = {
     "basket_pair_counts": q_basket_pair_counts,
     "event_type_transitions": q_event_type_transitions,
@@ -816,6 +906,7 @@ QUERIES = {
     "text_dup_rate_by_source": q_text_dup_rate_by_source,
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "dau_wau_stickiness": q_dau_wau_stickiness,
+    "dq_value_drift_psi": q_dq_value_drift_psi,
 }
 
 ORACLES = {
@@ -835,4 +926,5 @@ ORACLES = {
     "text_dup_rate_by_source": DUP_RATE_SQL,
     "mode_event_type_per_user": MODE_EVENT_SQL,
     "dau_wau_stickiness": DAU_WAU_SQL,
+    "dq_value_drift_psi": PSI_SQL,
 }
