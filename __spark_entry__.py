@@ -137,7 +137,8 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # Both are local-green at sf0.001 and sf0.01 (tools/check_oracle.py).
 # REMOVE these entries in round 5 so they earn driver evidence then.
 _DEFER_TO_NEXT_ROUND = frozenset(
-    {"ann_pq_codebook", "ann_pq_topk", "dq_value_drift_psi"}
+    {"ann_pq_codebook", "ann_pq_topk", "dq_value_drift_psi",
+     "sample_pps_orders"}
 )
 
 

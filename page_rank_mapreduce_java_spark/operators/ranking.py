@@ -262,3 +262,49 @@ def grouped_topk_low_cardinality(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order: list[Column],
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running SUM over a global total order, scalably — the prefix-sum
+    sibling of global_row_number (an unpartitioned SUM-window would
+    funnel the table through one task):
+
+    1. range-partition on the order keys (one full exchange);
+    2. within-partition running sum via a window PARTITIONED on the
+       stamped partition id (each task scans only its own range);
+    3. per-partition totals → broadcast prefix offsets (≤ #partitions
+       rows through the only single-task window).
+
+    ``order`` must be a total order. The sum column should be integer
+    (cents convention) for order-independent exactness.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    d = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_lcum", F.sum(value_col).over(w_in))
+    totals = d.groupBy("_pid").agg(F.max("_lcum").alias("_ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lcum")).cast("long"))
+        .drop("_pid", "_lcum", "_off")
+    )

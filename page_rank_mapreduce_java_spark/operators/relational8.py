@@ -889,6 +889,58 @@ PSI_SQL = f"""
 """
 
 
+# --- systematic PPS sampling -------------------------------------------------
+
+PPS_K = 20
+
+
+def q_sample_pps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of ~PPS_K
+    orders, weighted by order value — the weighted counterpart of
+    sample_mod_events / sample_per_lang_topk (big orders must be
+    over-represented in an eval slice exactly in proportion to the
+    revenue they carry). A row is selected iff its weight interval
+    [cum−w, cum) crosses a k·cum/total step boundary — FULLY INTEGER
+    ((cum·k) div total strictly increases across the row), so selection
+    is deterministic and exactly mirrorable, unlike float-threshold
+    reservoir variants whose libm pow/ln ordering can drift between
+    engines.
+
+    Scale shape: the global cumulative weight rides the two-pass
+    prefix-sum chassis (operators/ranking.global_running_sum — range
+    partition + per-partition window + broadcast offsets), never an
+    unpartitioned SUM window; the step test is per-row arithmetic.
+    """
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", _cents("o_totalprice").alias("wt")
+    )
+    c = global_running_sum(o, "wt", [F.asc("o_orderkey")], out_col="cum")
+    tot = c.agg(F.max("cum").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr(f"(cum * {PPS_K}) div tot > ((cum - wt) * {PPS_K}) div tot")
+        )
+        .select("o_orderkey", "wt", "cum")
+    )
+
+
+PPS_SQL = f"""
+    WITH w AS (SELECT o_orderkey, {cents_sql('o_totalprice')} AS wt
+               FROM orders),
+    c AS (SELECT *, CAST(SUM(wt) OVER (ORDER BY o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM w),
+    t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w)
+    SELECT o_orderkey, wt, cum
+    FROM c, t
+    WHERE (cum * {PPS_K}) // tot > ((cum - wt) * {PPS_K}) // tot
+"""
+
+
 QUERIES = {
     "basket_pair_counts": q_basket_pair_counts,
     "event_type_transitions": q_event_type_transitions,
@@ -907,6 +959,7 @@ QUERIES = {
     "mode_event_type_per_user": q_mode_event_type_per_user,
     "dau_wau_stickiness": q_dau_wau_stickiness,
     "dq_value_drift_psi": q_dq_value_drift_psi,
+    "sample_pps_orders": q_sample_pps_orders,
 }
 
 ORACLES = {
@@ -927,4 +980,5 @@ ORACLES = {
     "mode_event_type_per_user": MODE_EVENT_SQL,
     "dau_wau_stickiness": DAU_WAU_SQL,
     "dq_value_drift_psi": PSI_SQL,
+    "sample_pps_orders": PPS_SQL,
 }

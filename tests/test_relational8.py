@@ -229,3 +229,54 @@ def test_mode_tiebreak_is_deterministic(spark):
         r.user_id: (r._b.event_type, r._b.n) for r in best.collect()
     }
     assert got == {1: ("view", 2), 2: ("view", 1)}
+
+
+def test_global_running_sum_matches_naive_window(spark):
+    """Two-pass prefix sum == naive unpartitioned SUM window, across
+    input partitionings and shuffle-partition settings."""
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, rng.randrange(1, 100)) for i in range(400)]
+    df0 = spark.createDataFrame(rows, "id LONG, w LONG")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = sorted(
+        (r.id, r.cum)
+        for r in df0.withColumn("cum", F.sum("w").over(w)).collect()
+    )
+    for parts in (1, 3, 13):
+        got = sorted(
+            (r.id, r.cum)
+            for r in global_running_sum(
+                df0.repartition(parts), "w", [F.asc("id")], out_col="cum"
+            ).collect()
+        )
+        assert got == want
+
+
+def test_pps_sample_is_proportional_and_bounded(spark, sf_dir):
+    """Systematic PPS: at most k rows; every row with weight ≥ total/k
+    is ALWAYS selected (its interval must cross a boundary); and the
+    selection is invariant under repartitioning."""
+    from page_rank_mapreduce_java_spark.operators.relational8 import (
+        PPS_K,
+        q_sample_pps_orders,
+    )
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.money import cents
+
+    sel = q_sample_pps_orders(spark, sf_dir).collect()
+    assert 0 < len(sel) <= PPS_K
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", cents("o_totalprice").alias("wt")
+    )
+    total = o.agg(F.sum("wt")).first()[0]
+    heavy = {
+        r.o_orderkey
+        for r in o.filter(F.col("wt") * PPS_K >= total).collect()
+    }
+    selected = {r.o_orderkey for r in sel}
+    assert heavy <= selected
