@@ -134,11 +134,11 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # exactly full (49 never-checked + the dedup_clusters re-cert the r3
 # verdict directed): deferring THEM — rather than letting module order
 # evict backlog items — keeps the window spent on the recorded backlog.
-# Both are local-green at sf0.001 and sf0.01 (tools/check_oracle.py).
+# All are local-green at sf0.001 and sf0.01 (tools/check_oracle.py).
 # REMOVE these entries in round 5 so they earn driver evidence then.
 _DEFER_TO_NEXT_ROUND = frozenset(
     {"ann_pq_codebook", "ann_pq_topk", "dq_value_drift_psi",
-     "sample_pps_orders"}
+     "sample_pps_orders", "graph_stress_centrality"}
 )
 
 

@@ -1,0 +1,122 @@
+"""Sampled stress centrality — the integer-exact member of the
+betweenness family (Shimbel 1953; the Brandes 2001 two-phase
+accumulation, counting paths instead of summing fractional pair
+dependencies).
+
+stress(v) = Σ_{s,t} σ_st(v): the number of shortest s→t paths passing
+through v as an INTERIOR vertex. Betweenness divides each term by
+σ_st — a ratio whose floating accumulation is summation-order-dependent
+and therefore violates this repo's partition-invariance bar (see
+tests/test_determinism.py); stress keeps the identical two-phase
+structure with pure BIGINT arithmetic, so results are bit-exact on any
+partitioning and exactly oracle-mirrorable.
+
+Algorithm (per sampled source s, all sources batched in one DataFrame
+keyed by ``s`` — S sources cost one superstep sequence, not S):
+
+- forward, level-synchronous BFS: level l+1 = neighbors of level l not
+  yet visited for that source; σ(s,v) = Σ σ over level-l predecessors
+  (level-synchronous BFS puts EVERY shortest-path predecessor of a
+  level-(l+1) node exactly at level l, so one grouped sum per level is
+  the complete path count);
+- backward: g(s,v) = Σ_{w ∈ DAG-succ(v)} (1 + g(s,w)) = number of
+  shortest-path continuations from v (the "+1" counts the path ending
+  at w itself, g(w) the ones continuing past it), accumulated from the
+  deepest level upward;
+- stress(v) = Σ_s σ(s,v)·g(s,v) over levels ≥ 1 (a level-0 row is v=s,
+  where v is an endpoint, not interior).
+
+Scale shape: identical to the BFS chassis (graph/algorithms.py) — per
+level one frontier⋈edges join keyed on the node id plus one (s, id)
+grouped sum; state is frontier-sized × |sources|, never edge-sized;
+``max_depth`` bounds the rounds (the oracle unrolls the same depth, so
+truncation is part of the certified semantics, as with BFS_HOPS /
+SSSP_ROUNDS). Sampling sources is the standard scale lever for
+betweenness-family centralities (Brandes–Pich 2007): cost is linear in
+|sources| with an unbiased rank estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.plans.checkpoints import cut_lineage
+
+
+def stress_centrality_sampled(
+    sym: DataFrame, sources: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """Exact depth-bounded stress centrality over the sampled sources.
+
+    ``sym``: symmetrized simple edge relation DataFrame[src, dst]
+    (distinct pairs — parallel edges would double-count paths).
+    ``sources``: DataFrame[src]. Returns DataFrame[id, stress] covering
+    every node of ``sym`` (0 where never interior).
+    """
+    sym = sym.select("src", "dst").persist()
+
+    lvl0 = cut_lineage(
+        sources.select(
+            F.col("src").alias("s"),
+            F.col("src").alias("id"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    levels = [lvl0]
+    visited = cut_lineage(lvl0.select("s", "id"))
+    for _ in range(max_depth):
+        prev = levels[-1]
+        cand = (
+            prev.join(sym, prev.id == sym.src)
+            .select("s", F.col("dst").alias("id"), "sigma")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = cut_lineage(cand.join(visited, ["s", "id"], "left_anti"))
+        levels.append(nxt)
+        visited = cut_lineage(visited.unionByName(nxt.select("s", "id")))
+
+    # backward accumulation of continuation counts g
+    deepest = levels[max_depth]
+    parts = [
+        deepest.select("s", "id", "sigma", F.lit(0).cast("long").alias("g"))
+    ]
+    g_above = parts[0].select("s", "id", "g")
+    for l in range(max_depth - 1, -1, -1):
+        cur = levels[l]
+        succ = (
+            cur.select("s", F.col("id").alias("v"))
+            .join(sym, F.col("v") == sym.src)
+            .select("s", "v", F.col("dst").alias("w"))
+            .join(
+                g_above.select(
+                    "s", F.col("id").alias("w"), F.col("g").alias("gw")
+                ),
+                ["s", "w"],
+            )
+            .groupBy("s", F.col("v").alias("id"))
+            .agg(F.sum(F.col("gw") + 1).alias("g"))
+        )
+        cur_g = cut_lineage(
+            cur.join(succ, ["s", "id"], "left").select(
+                "s",
+                "id",
+                "sigma",
+                F.coalesce("g", F.lit(0)).cast("long").alias("g"),
+            )
+        )
+        parts.append(cur_g)
+        g_above = cur_g.select("s", "id", "g")
+
+    # parts[-1] is level 0 (v = s: endpoint, not interior) — excluded.
+    interior = parts[0]
+    for p in parts[1:-1]:
+        interior = interior.unionByName(p)
+    stress = interior.groupBy("id").agg(
+        F.sum(F.col("sigma") * F.col("g")).alias("stress")
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    return nodes.join(stress, "id", "left").select(
+        "id", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
+    )

@@ -885,6 +885,78 @@ ASSORTATIVITY_SQL = f"""
 """
 
 
+STRESS_DEPTH = 4
+
+
+def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-4 stress centrality from the BFS source customers over the
+    symmetrized interaction graph — the integer-exact betweenness-family
+    ranking (graph/centrality.py): which suppliers/customers sit on the
+    most shortest paths. Source-sampled (custkey ≤ BFS_SOURCE_MAX) and
+    depth-bounded exactly like graph_bfs_hops; the oracle unrolls the
+    same levels, so truncation is part of the certified semantics."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import _symmetrize
+    from page_rank_mapreduce_java_spark.graph.centrality import (
+        stress_centrality_sampled,
+    )
+
+    edges = derived_edges(spark, sf_dir)
+    sources = edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
+    return stress_centrality_sampled(
+        _symmetrize(edges), sources, max_depth=STRESS_DEPTH
+    )
+
+
+def _stress_oracle_sql(depth: int = STRESS_DEPTH) -> str:
+    base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= {BFS_SOURCE_MAX}),
+f0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS BIGINT) AS sigma FROM srcs),
+v0 AS MATERIALIZED (SELECT s, id FROM f0)"""
+    steps = []
+    for i in range(1, depth + 1):
+        p = i - 1
+        steps.append(
+            f""",
+f{i} AS MATERIALIZED (
+  SELECT p.s, e.dst AS id, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM f{p} p JOIN sym e ON p.id = e.src
+  LEFT JOIN v{p} v ON v.s = p.s AND v.id = e.dst
+  WHERE v.id IS NULL
+  GROUP BY p.s, e.dst),
+v{i} AS MATERIALIZED (SELECT s, id FROM v{p} UNION ALL SELECT s, id FROM f{i})"""
+        )
+    steps.append(
+        f""",
+g{depth} AS MATERIALIZED (SELECT s, id, CAST(0 AS BIGINT) AS g FROM f{depth})"""
+    )
+    for l in range(depth - 1, -1, -1):
+        steps.append(
+            f""",
+g{l} AS MATERIALIZED (
+  SELECT c.s, c.id,
+         CAST(COALESCE(SUM(1 + gn.g), 0) AS BIGINT) AS g
+  FROM f{l} c
+  LEFT JOIN sym e ON c.id = e.src
+  LEFT JOIN g{l + 1} gn ON gn.s = c.s AND gn.id = e.dst
+  GROUP BY c.s, c.id)"""
+        )
+    interior = " UNION ALL ".join(
+        f"SELECT f{l}.id, f{l}.sigma * g{l}.g AS c "
+        f"FROM f{l} JOIN g{l} ON f{l}.s = g{l}.s AND f{l}.id = g{l}.id"
+        for l in range(1, depth + 1)
+    )
+    return (
+        base
+        + "".join(steps)
+        + f""",
+contrib AS ({interior}),
+nodes AS (SELECT DISTINCT src AS id FROM sym)
+SELECT n.id, CAST(COALESCE(SUM(u.c), 0) AS BIGINT) AS stress
+FROM nodes n LEFT JOIN contrib u ON n.id = u.id GROUP BY n.id"""
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_pagerank,
     "graph_pagerank_weighted": q_pagerank_weighted,
@@ -908,6 +980,7 @@ QUERIES = {
     "graph_jaccard_neighbors": q_jaccard_neighbors,
     "graph_clustering_coeff": q_clustering_coeff,
     "graph_degree_assortativity": q_degree_assortativity,
+    "graph_stress_centrality": q_stress_centrality,
 }
 
 ORACLES = {
@@ -943,6 +1016,7 @@ ORACLES = {
     "graph_sssp_weighted": _sssp_oracle_sql(),
     "graph_jaccard_neighbors": JACCARD_NEIGHBORS_SQL,
     "graph_degree_assortativity": ASSORTATIVITY_SQL,
+    "graph_stress_centrality": _stress_oracle_sql(),
 }
 
 # Import placed late to keep the oracle builders' reading order; the
