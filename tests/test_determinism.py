@@ -47,6 +47,10 @@ QUERIES_UNDER_TEST = [
     "skyline_parts",
     "user_event_entropy",
     "graph_jaccard_neighbors",
+    # fourth wave (round-4 late registrations, driver-deferred): global
+    # prefix-sum PPS selection, two-phase integer path counting
+    "sample_pps_orders",
+    "graph_stress_centrality",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
