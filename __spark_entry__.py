@@ -138,7 +138,7 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # REMOVE these entries in round 5 so they earn driver evidence then.
 _DEFER_TO_NEXT_ROUND = frozenset(
     {"ann_pq_codebook", "ann_pq_topk", "dq_value_drift_psi",
-     "sample_pps_orders", "graph_stress_centrality"}
+     "sample_pps_orders", "graph_stress_centrality", "events_daily_acf"}
 )
 
 

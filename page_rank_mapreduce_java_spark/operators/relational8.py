@@ -941,6 +941,69 @@ PPS_SQL = f"""
 """
 
 
+# --- autocorrelation of daily volumes ----------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def q_events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-volume series at lags
+    1..7, in ppm — the weekly-seasonality detector (a strong lag-7 spike
+    means weekday structure; near-zero everywhere means the volume
+    series is noise). Completes the time-series statistics family next
+    to events_ewma_value / events_volume_anomalies.
+
+    Scale shape: the series is first reduced to one row per day (a
+    fact-table aggregate), so everything after runs on a days-sized
+    relation: a bounded ×7 lag fan-out, an equi-join on the shifted
+    day, and one co-moment aggregate per lag. Zero-variance series hit
+    the same try_divide + sentinel convention as
+    graph_degree_assortativity.
+    """
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = (
+        daily.crossJoin(F.broadcast(lags))
+        .select("lag", F.expr("date_add(day, lag)").alias("day"),
+                F.col("c").alias("c_prev"))
+    )
+    pairs = daily.join(shifted, "day")
+    corr = F.try_divide(
+        F.covar_pop("c", "c_prev"),
+        F.stddev_pop("c") * F.stddev_pop("c_prev"),
+    )
+    return pairs.groupBy("lag").agg(
+        F.coalesce(
+            F.round(corr * 1e6).cast("long"), F.lit(-2_000_000)
+        ).alias("acf_ppm"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+ACF_SQL = f"""
+    WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+                   FROM events GROUP BY 1),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+      SELECT l.lag, d2.c, d1.c AS c_prev
+      FROM daily d1, lags l
+      JOIN daily d2 ON d2.day = d1.day + CAST(l.lag AS INTEGER)
+    )
+    SELECT CAST(lag AS INTEGER) AS lag,
+           COALESCE(CAST(ROUND(covar_pop(c, c_prev)
+                     / (stddev_pop(c) * stddev_pop(c_prev)) * 1e6, 0)
+                    AS BIGINT), -2000000) AS acf_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+"""
+
+
 QUERIES = {
     "basket_pair_counts": q_basket_pair_counts,
     "event_type_transitions": q_event_type_transitions,
@@ -960,6 +1023,7 @@ QUERIES = {
     "dau_wau_stickiness": q_dau_wau_stickiness,
     "dq_value_drift_psi": q_dq_value_drift_psi,
     "sample_pps_orders": q_sample_pps_orders,
+    "events_daily_acf": q_events_daily_acf,
 }
 
 ORACLES = {
@@ -981,4 +1045,5 @@ ORACLES = {
     "dau_wau_stickiness": DAU_WAU_SQL,
     "dq_value_drift_psi": PSI_SQL,
     "sample_pps_orders": PPS_SQL,
+    "events_daily_acf": ACF_SQL,
 }
