@@ -130,16 +130,11 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-# Queries registered late in round 4, AFTER the 50-slot window was
-# exactly full (49 never-checked + the dedup_clusters re-cert the r3
-# verdict directed): deferring THEM — rather than letting module order
-# evict backlog items — keeps the window spent on the recorded backlog.
-# All are local-green at sf0.001 and sf0.01 (tools/check_oracle.py).
-# REMOVE these entries in round 5 so they earn driver evidence then.
-_DEFER_TO_NEXT_ROUND = frozenset(
-    {"ann_pq_codebook", "ann_pq_topk", "dq_value_drift_psi",
-     "sample_pps_orders", "graph_stress_centrality", "events_daily_acf"}
-)
+# Queries registered too late for the current round's audit window are
+# deferred here so the window stays spent on the recorded backlog.
+# Round 5: empty — the six late-r4 registrations now earn driver
+# evidence (they sort into group 0, ahead of this round's additions).
+_DEFER_TO_NEXT_ROUND = frozenset()
 
 
 def _audit_order(q: dict, o: dict) -> list[str]:

@@ -117,6 +117,12 @@ def stress_centrality_sampled(
         F.sum(F.col("sigma") * F.col("g")).alias("stress")
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    return nodes.join(stress, "id", "left").select(
-        "id", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
+    # Materialize before unpersisting sym: every invocation in a shared
+    # session (tests, bench) would otherwise leak the cached edge blocks.
+    out = cut_lineage(
+        nodes.join(stress, "id", "left").select(
+            "id", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
+        )
     )
+    sym.unpersist()
+    return out

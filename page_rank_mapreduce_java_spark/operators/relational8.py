@@ -920,10 +920,15 @@ def q_sample_pps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = global_running_sum(o, "wt", [F.asc("o_orderkey")], out_col="cum")
     tot = c.agg(F.max("cum").alias("tot"))
+    # Step test in DECIMAL(38,0): cum·K in BIGINT would wrap around
+    # SF ≈ 2×10^4 (total cents × K > 2^63) — within the 100 TB target.
     return (
         c.crossJoin(F.broadcast(tot))
         .filter(
-            F.expr(f"(cum * {PPS_K}) div tot > ((cum - wt) * {PPS_K}) div tot")
+            F.expr(
+                f"(CAST(cum AS DECIMAL(38,0)) * {PPS_K}) div tot"
+                f" > (CAST(cum - wt AS DECIMAL(38,0)) * {PPS_K}) div tot"
+            )
         )
         .select("o_orderkey", "wt", "cum")
     )
@@ -937,7 +942,8 @@ PPS_SQL = f"""
     t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w)
     SELECT o_orderkey, wt, cum
     FROM c, t
-    WHERE (cum * {PPS_K}) // tot > ((cum - wt) * {PPS_K}) // tot
+    WHERE (CAST(cum AS HUGEINT) * {PPS_K}) // tot
+          > (CAST(cum - wt AS HUGEINT) * {PPS_K}) // tot
 """
 
 

@@ -51,6 +51,11 @@ QUERIES_UNDER_TEST = [
     # prefix-sum PPS selection, two-phase integer path counting
     "sample_pps_orders",
     "graph_stress_centrality",
+    # corr-family: covar_pop/stddev_pop/corr partial-aggregate merges can
+    # vary with layout near a rounding boundary — detect early (ADVICE r4)
+    "graph_degree_assortativity",
+    "events_daily_acf",
+    "corr_pairs_lineitem",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

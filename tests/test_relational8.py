@@ -239,7 +239,11 @@ def test_global_running_sum_matches_naive_window(spark):
     )
 
     rng = random.Random(23)
-    rows = [(i, rng.randrange(1, 100)) for i in range(400)]
+    # Mixed-sign weights: partition totals must be SUM(w), not the max
+    # of the running sum (those differ as soon as any weight is negative).
+    rows = [(i, rng.randrange(1, 100)) for i in range(400)] + [
+        (i, rng.randrange(-50, 50)) for i in range(400, 600)
+    ]
     df0 = spark.createDataFrame(rows, "id LONG, w LONG")
     w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
     want = sorted(

@@ -45,10 +45,12 @@ def main() -> int:
     backlog = {
         n
         for n, rec in ev.items()
+        # Membership guard FIRST: comprehension if-clauses apply in order,
+        # so q[n] on a removed/renamed query would KeyError otherwise.
+        if n in q and n not in deferred
         if rec.get("driver") == "never"
         or str(rec.get("driver", "")).startswith("fail")
         or rec.get("hash") != entrymod.query_hash(q[n], o.get(n))
-        if n in q and n not in deferred
     }
     new = set(q) - set(ev) - deferred
     demand = len(backlog | new)
