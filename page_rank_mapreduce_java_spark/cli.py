@@ -85,6 +85,7 @@ def full_registry() -> tuple[dict, dict]:
         relational6,
         relational7,
         relational8,
+        relational9,
     )
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
@@ -101,6 +102,7 @@ def full_registry() -> tuple[dict, dict]:
         relational6,
         relational7,
         relational8,
+        relational9,
         dedup_queries,
         sim_queries,
         text_queries,

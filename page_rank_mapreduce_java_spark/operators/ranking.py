@@ -298,7 +298,10 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("_lcum", F.sum(value_col).over(w_in))
-    totals = d.groupBy("_pid").agg(F.max("_lcum").alias("_ptot"))
+    # Partition totals must be SUM(value), not MAX(running sum): the two
+    # only coincide when every value is non-negative, and callers may feed
+    # net deltas (refunds) through this chassis.
+    totals = d.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_off")
@@ -307,4 +310,57 @@ def global_running_sum(
         d.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_lcum")).cast("long"))
         .drop("_pid", "_lcum", "_off")
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    value_cols: list[str],
+    order: list[Column],
+    out_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column sibling of :func:`global_running_sum`: running SUMs of
+    several integer columns over ONE shared global total order, paying the
+    range exchange and the tiny offsets window once instead of once per
+    column (a two-sample ECDF needs both samples' cumulative counts on the
+    same value order). Same chassis: range partition → per-partition
+    window sums → broadcast per-partition offsets. Partition totals are
+    SUM(value) (sign-safe), never MAX(running)."""
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    outs = out_cols or [f"{c}_cum" for c in value_cols]
+    d = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c, out in zip(value_cols, outs):
+        d = d.withColumn(f"_lc_{out}", F.sum(c).over(w_in))
+    totals = d.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_pt_{out}") for c, out in zip(value_cols, outs)]
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_pt_{out}").over(w_off), F.lit(0)).alias(
+                f"_off_{out}"
+            )
+            for out in outs
+        ],
+    )
+    d = d.join(F.broadcast(offsets), "_pid")
+    for out in outs:
+        d = d.withColumn(
+            out, (F.col(f"_off_{out}") + F.col(f"_lc_{out}")).cast("long")
+        )
+    return d.drop(
+        "_pid", *[f"_lc_{o}" for o in outs], *[f"_off_{o}" for o in outs]
     )
