@@ -86,6 +86,7 @@ def full_registry() -> tuple[dict, dict]:
         relational7,
         relational8,
         relational9,
+        relational10,
     )
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
@@ -103,6 +104,7 @@ def full_registry() -> tuple[dict, dict]:
         relational7,
         relational8,
         relational9,
+        relational10,
         dedup_queries,
         sim_queries,
         text_queries,
