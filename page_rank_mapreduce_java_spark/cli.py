@@ -74,7 +74,7 @@ def full_registry() -> tuple[dict, dict]:
     registry would make the correctness gate pass on fewer queries
     without anyone noticing."""
     from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
-    from page_rank_mapreduce_java_spark.functions import text_queries
+    from page_rank_mapreduce_java_spark.functions import text_queries, text_queries2
     from page_rank_mapreduce_java_spark.graph import queries as graph_queries
     from page_rank_mapreduce_java_spark.operators import (
         relational,
@@ -108,6 +108,7 @@ def full_registry() -> tuple[dict, dict]:
         dedup_queries,
         sim_queries,
         text_queries,
+        text_queries2,
         stream_queries,
     ):
         q.update(m.QUERIES)
