@@ -126,3 +126,49 @@ def stress_centrality_sampled(
     )
     sym.unpersist()
     return out
+
+
+def labeled_bfs_levels(
+    sym: DataFrame, sources: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """Per-source BFS level labels: DataFrame[s, id, level] with level =
+    d(s, id) ∈ [0, max_depth], one row per (source, first-visited node)
+    — the shared forward pass of the distance-centrality family
+    (harmonic/closeness, eccentricity, mean path length), identical to
+    stress_centrality_sampled's forward phase minus the path counts.
+
+    ``sym``: symmetrized simple edge relation DataFrame[src, dst];
+    ``sources``: DataFrame[src]. Scale shape: one frontier⋈edges join
+    per level keyed on the node id + a (s, id) anti-join against the
+    visited set; state is visited-sized × |sources|, never edge-sized.
+    The edge cache is released before returning (result materialized
+    via localCheckpoint first).
+    """
+    sym = sym.select("src", "dst").persist()
+    try:
+        lvl = cut_lineage(
+            sources.select(
+                F.col("src").alias("s"),
+                F.col("src").alias("id"),
+                F.lit(0).cast("long").alias("level"),
+            )
+        )
+        out = lvl
+        visited = cut_lineage(lvl.select("s", "id"))
+        for depth in range(1, max_depth + 1):
+            cand = (
+                lvl.join(sym, lvl.id == sym.src)
+                .select("s", F.col("dst").alias("id"))
+                .distinct()
+            )
+            nxt = cut_lineage(
+                cand.join(visited, ["s", "id"], "left_anti").withColumn(
+                    "level", F.lit(depth).cast("long")
+                )
+            )
+            out = out.unionByName(nxt)
+            visited = cut_lineage(visited.unionByName(nxt.select("s", "id")))
+            lvl = nxt
+        return cut_lineage(out)
+    finally:
+        sym.unpersist()

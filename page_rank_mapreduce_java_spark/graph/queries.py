@@ -1027,3 +1027,161 @@ ORACLES["graph_triangle_counts"] = triangles_sql(COOC_EDGES_SQL)
 ORACLES["graph_kcore"] = kcore_sql(COOC_EDGES_SQL, k=KCORE_K, rounds=KCORE_ROUNDS)
 ORACLES["graph_hits"] = _hits_oracle_sql()
 ORACLES["graph_clustering_coeff"] = _clustering_coeff_oracle_sql()
+
+
+# --- distance-centrality family over shared labeled BFS levels (round 5) -----
+#
+# harmonic centrality, eccentricity, and mean path length all reduce the
+# SAME (source, node, level) relation — the forward pass of the stress
+# chassis minus path counts (graph/centrality.labeled_bfs_levels). One
+# BFS run per (application, sf_dir) feeds all three queries (memoized
+# like _RANKS_CACHE; the levels DataFrame is localCheckpoint-backed).
+# Depth bound = BFS_HOPS, sources = custkey ≤ BFS_SOURCE_MAX, exactly
+# like graph_bfs_hops — the oracle unrolls identical levels, so the
+# truncation is part of the certified semantics.
+
+HARM_SCALE = 12  # lcm(1..BFS_HOPS): 12/level is an exact integer
+
+_LEVELS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _corpus_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from page_rank_mapreduce_java_spark.graph.algorithms import _symmetrize
+    from page_rank_mapreduce_java_spark.graph.centrality import (
+        labeled_bfs_levels,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LEVELS_CACHE:
+        edges = derived_edges(spark, sf_dir)
+        sources = (
+            edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
+        )
+        _LEVELS_CACHE[key] = labeled_bfs_levels(
+            _symmetrize(edges), sources, max_depth=BFS_HOPS
+        )
+    return _LEVELS_CACHE[key]
+
+
+def _corpus_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    return (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded harmonic centrality from the sampled sources:
+    harm12(v) = Σ_s 12 / d(s,v) over reached pairs with d ≥ 1 — the
+    centrality that handles disconnected graphs gracefully (unreached
+    pairs contribute 0, no ∞ bookkeeping like closeness). Scaled by
+    lcm(1..4) = 12 so every term is an exact integer (12, 6, 4, 3):
+    BIGINT-exact, partition-invariant, exactly oracle-mirrorable."""
+    lv = _corpus_levels(spark, sf_dir).filter(F.col("level") >= 1)
+    harm = lv.groupBy("id").agg(
+        F.sum(F.expr(f"{HARM_SCALE} div level")).alias("harm12")
+    )
+    return (
+        _corpus_nodes(spark, sf_dir)
+        .join(harm, "id", "left")
+        .select("id", F.coalesce("harm12", F.lit(0)).cast("long").alias("harm12"))
+    )
+
+
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source depth-bounded eccentricity and coverage: the farthest
+    first-visit level and the number of distinct nodes reached within
+    BFS_HOPS — the sampled diameter/ball-size probe (a sudden coverage
+    drop for one source flags a partitioned region)."""
+    lv = _corpus_levels(spark, sf_dir).filter(F.col("level") >= 1)
+    return lv.groupBy("s").agg(
+        F.max("level").cast("long").alias("ecc"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+
+
+def q_graph_avg_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean shortest-path length from the sampled sources (depth-bounded,
+    reached pairs only), in milli — the small-world summary statistic.
+    Exact integer numerator/denominator; one final double division."""
+    lv = _corpus_levels(spark, sf_dir).filter(F.col("level") >= 1)
+    agg = lv.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("level").alias("sum_levels")
+    )
+    return agg.select(
+        "n_pairs",
+        "sum_levels",
+        F.round(
+            F.col("sum_levels").cast("double") / F.col("n_pairs").cast("double") * 1e3
+        )
+        .cast("long")
+        .alias("avg_milli"),
+    )
+
+
+def _levels_base_sql(depth: int = BFS_HOPS) -> str:
+    """Unrolled (s, id, level) first-visit relation — the oracle twin of
+    labeled_bfs_levels; one frontier/visited CTE pair per level."""
+    base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= {BFS_SOURCE_MAX}),
+f0 AS MATERIALIZED (SELECT id AS s, id, CAST(0 AS BIGINT) AS level FROM srcs),
+v0 AS MATERIALIZED (SELECT s, id FROM f0)"""
+    steps = []
+    for i in range(1, depth + 1):
+        p = i - 1
+        steps.append(
+            f""",
+f{i} AS MATERIALIZED (
+  SELECT DISTINCT p.s, e.dst AS id, CAST({i} AS BIGINT) AS level
+  FROM f{p} p JOIN sym e ON p.id = e.src
+  LEFT JOIN v{p} v ON v.s = p.s AND v.id = e.dst
+  WHERE v.id IS NULL),
+v{i} AS MATERIALIZED (SELECT s, id FROM v{p} UNION ALL SELECT s, id FROM f{i})"""
+        )
+    lv = " UNION ALL ".join(f"SELECT * FROM f{i}" for i in range(1, depth + 1))
+    return base + "".join(steps) + f",\nlv AS MATERIALIZED ({lv})"
+
+
+def _harmonic_oracle_sql(depth: int = BFS_HOPS) -> str:
+    return (
+        _levels_base_sql(depth)
+        + f""",
+h AS (SELECT id, CAST(SUM({HARM_SCALE} // level) AS BIGINT) AS harm12
+      FROM lv GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS id FROM sym)
+SELECT n.id, CAST(COALESCE(h.harm12, 0) AS BIGINT) AS harm12
+FROM nodes n LEFT JOIN h ON n.id = h.id"""
+    )
+
+
+def _eccentricity_oracle_sql(depth: int = BFS_HOPS) -> str:
+    return (
+        _levels_base_sql(depth)
+        + """
+SELECT s, CAST(MAX(level) AS BIGINT) AS ecc,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM lv GROUP BY 1"""
+    )
+
+
+def _avg_path_oracle_sql(depth: int = BFS_HOPS) -> str:
+    return (
+        _levels_base_sql(depth)
+        + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(level) AS BIGINT) AS sum_levels,
+       CAST(ROUND(CAST(SUM(level) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e3, 0)
+            AS BIGINT) AS avg_milli
+FROM lv"""
+    )
+
+
+QUERIES["graph_harmonic_centrality"] = q_harmonic_centrality
+QUERIES["graph_eccentricity"] = q_graph_eccentricity
+QUERIES["graph_avg_path_length"] = q_graph_avg_path_length
+ORACLES["graph_harmonic_centrality"] = _harmonic_oracle_sql()
+ORACLES["graph_eccentricity"] = _eccentricity_oracle_sql()
+ORACLES["graph_avg_path_length"] = _avg_path_oracle_sql()
