@@ -14,6 +14,13 @@ $SPARK_GRAFT_BENCH_RUNS (default 3) full INTERLEAVED rounds — round-robin
 over queries, not back-to-back repeats, so a load burst lands on
 different queries in different rounds — and reports the per-query MEDIAN
 plus [min, max] spread. "value" is the sum of medians.
+
+Load-aware regression gate (VERDICT r4 next #5): each round starts with a
+constant-work JVM calibration probe; "calib_sec" goes in the JSON, and
+vs_prev divides current timings by max(1, calib_now/calib_prev) before
+applying the 25% threshold — so "host was busy" and "code regressed" are
+distinguishable. A faster host never masks a regression (ratio clamped
+at 1).
 """
 
 from __future__ import annotations
@@ -79,6 +86,22 @@ HEADLINE = [
 ]
 
 
+def _calibration_probe(spark) -> float:
+    """Constant-work JVM probe: hash-sum over a fixed range across 32
+    tasks — no I/O, no shuffle, no Python. Its runtime tracks the host's
+    CURRENT effective throughput, so ratios of probe times between two
+    bench runs measure ambient load, not code. (VERDICT r4 next #5: the
+    vs_prev gate flagged 8 false regressions on untouched code during a
+    host-load swing; PERF.md documents identical code swinging ~2×.)"""
+    import time as _t
+
+    t0 = _t.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(xxhash64(id)) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return round(_t.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -114,7 +137,9 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    calib_samples: list[float] = []
     for _ in range(runs):
+        calib_samples.append(_calibration_probe(spark))
         # Drop the memoized PageRank rank vector: a repeat run must
         # re-execute the superstep loop, not time a dict lookup.
         from page_rank_mapreduce_java_spark.graph.queries import _RANKS_CACHE
@@ -134,6 +159,7 @@ def main() -> None:
     timings = {name: median(ts) for name, ts in samples.items()}
     spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    calib_sec = median(calib_samples)
 
     # The reference's own production workload (Makefile aws.k=1000,
     # aws.iterations=10 — provisioned as 1 master + 5 core m6a.xlarge on
@@ -160,6 +186,8 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "spread": spread,
+        "calib_sec": calib_sec,
+        "calib_runs": calib_samples,
     }
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec
@@ -177,13 +205,14 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     hist_path = os.path.join(here, "bench_history.jsonl")
-    prev_q, prev_label = {}, None
+    prev_q, prev_label, prev_calib = {}, None, None
     try:
         with open(hist_path) as f:
             for line in f:
                 rec = json.loads(line)
                 if rec.get("sf") == sf and rec.get("queries"):
                     prev_q, prev_label = rec["queries"], "bench_history.jsonl"
+                    prev_calib = rec.get("calib_sec")
     except (OSError, json.JSONDecodeError):
         pass
     if not prev_q:
@@ -197,23 +226,33 @@ def main() -> None:
                 continue
             if parsed.get("sf") == sf and parsed.get("queries"):
                 prev_q, prev_label = parsed["queries"], os.path.basename(p)
+                prev_calib = parsed.get("calib_sec")
     if prev_q:
         prev_path = prev_label
         shared = [n for n in timings if n in prev_q and prev_q[n] > 0]
         if shared:
             cur_sum = sum(timings[n] for n in shared)
             prev_sum = sum(prev_q[n] for n in shared)
+            # Calibration-normalized gate: only excuse slowdowns when the
+            # probe shows THIS host run is slower than the baseline run
+            # (load > 1); a faster host never hides a real regression.
+            calib_ratio = (
+                round(calib_sec / prev_calib, 3) if prev_calib else None
+            )
+            load = max(1.0, calib_ratio or 1.0)
             regressions = {
                 n: {"prev": prev_q[n], "now": timings[n],
-                    "ratio": round(timings[n] / prev_q[n], 2)}
+                    "ratio": round(timings[n] / prev_q[n], 2),
+                    "ratio_calib_adj": round(timings[n] / (prev_q[n] * load), 2)}
                 for n in shared
-                if timings[n] > prev_q[n] * 1.25
+                if timings[n] > prev_q[n] * 1.25 * load
             }
             out["vs_prev"] = {
                 "file": prev_path,
                 "shared_queries": len(shared),
                 "total_ratio": round(cur_sum / prev_sum, 3),
-                "regressed_over_25pct": regressions,
+                "calib_ratio": calib_ratio,
+                "regressed_over_25pct_calib_adj": regressions,
             }
             if regressions:
                 print(

@@ -88,6 +88,7 @@ def full_registry() -> tuple[dict, dict]:
         relational9,
         relational10,
     )
+    from page_rank_mapreduce_java_spark.multimodal import phash as mm_phash
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
 
@@ -107,6 +108,7 @@ def full_registry() -> tuple[dict, dict]:
         relational10,
         dedup_queries,
         sim_queries,
+        mm_phash,
         text_queries,
         text_queries2,
         stream_queries,

@@ -21,6 +21,12 @@ queries in one session (bench.py, tools/check_oracle.py) call
 ``spark.catalog.clearCache()`` after materializing each result; one-off
 callers can rely on the ContextCleaner reclaiming blocks when the
 DataFrame goes out of scope.
+
+The persists that remain are the A/B WINNERS (PERF.md r5 ledger item 3,
+measured interleaved at sf0.1 against the runtime-ReusedExchange
+alternative); ``_PERSIST_SHARED`` exists so the A/B harness
+(tools/ab_persist.py) can flip all sites in one place without editing
+query code.
 """
 
 from __future__ import annotations
@@ -42,6 +48,14 @@ from page_rank_mapreduce_java_spark.functions.textfn import word_shingles, shing
 from page_rank_mapreduce_java_spark.functions.vectors import cosine, cosine_sql
 
 WORDS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+# Toggle for the shared-subtree persists below (tools/ab_persist.py flips
+# this to measure persist vs runtime ReusedExchange on identical code).
+_PERSIST_SHARED = True
+
+
+def _maybe_persist(df: DataFrame) -> DataFrame:
+    return df.persist() if _PERSIST_SHARED else df
 
 
 # --- exact ------------------------------------------------------------------
@@ -97,7 +111,7 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature pipeline feeds 4 band branches × 2 self-join sides —
     without the persist Spark would recompute the shingle explode + 16
     min-aggregates 8×; with it, one pass."""
-    sig = _signatures(spark, sf_dir).persist()
+    sig = _maybe_persist(_signatures(spark, sf_dir))
     rows_per_band = NUM_MINHASH // LSH_BANDS
     bands = None
     for j in range(LSH_BANDS):
@@ -193,7 +207,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidate generation is an equi-join on (band, half-value) —
     never a cross join; the Hamming check runs only on collisions.
     """
-    sh = q_dedup_simhash(spark, sf_dir).persist()
+    # A/B r5 (PERF.md item 3): persist vs ReusedExchange was a statistical
+    # tie here (medians 3.01 s vs 2.90 s, overlapping spreads) — the
+    # simhash relation is one doc-keyed aggregate, cheap enough that the
+    # runtime ReusedExchange covers the two self-join reads. Per the r4
+    # lesson, ties go to no-persist.
+    sh = q_dedup_simhash(spark, sf_dir)
     hi = (F.col("simhash") / F.lit(65536)).cast("long").alias("half")
     lo = (F.col("simhash") % F.lit(65536)).alias("half")
     bands = sh.select("doc_id", "simhash", F.lit(0).alias("band"), hi).unionByName(
@@ -289,8 +308,8 @@ def blocked_jaccard_pairs(d: DataFrame) -> DataFrame:
                  words(F.col("text")).alias("w"))
         .select("doc_id", "lang", "bucket", word_shingles("w").alias("sh"))
         .withColumn("band", _shingle_band(F.col("sh")))
-        .persist()  # both sides of the self-join read this
     )
+    docs = _maybe_persist(docs)  # both sides of the self-join read this
     a, b = docs.alias("a"), docs.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
@@ -379,8 +398,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, "embeddings", sf_dir)
         .withColumn("bkt", lsh_bucket_col("embedding", n_planes=EMB_LSH_PLANES))
-        .persist()  # both sides of the self-join read this
     )
+    e = _maybe_persist(e)  # both sides of the self-join read this
     a, b = e.alias("a"), e.alias("b")
     cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     pairs = a.join(

@@ -815,18 +815,35 @@ def q_dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets finite and is mirrored exactly in the oracle). Output: one
     row (psi_micro, n_ref, n_cur).
 
-    Scale shape: decile boundaries are one exact-percentile aggregate
-    over the reference scan, broadcast back as a 9-element array; each
-    row buckets via array comparison (no join); two count aggregates
-    over ≤ PSI_BUCKETS groups; the PSI sum is arithmetic over 10 rows.
+    Scale shape: decile boundaries come from the two-pass global-NTILE
+    chassis (operators/ranking.py) over the reference side — boundary i
+    is decile-bucket i's MAX value, an integer both engines agree on
+    exactly — NOT Spark's exact `percentile` aggregate, which buffers
+    every group value in one aggregation buffer (the r4-verdict scale
+    killer). The 9 boundaries collapse to a broadcast 9-element array;
+    each row buckets via array comparison (no join); two count
+    aggregates over ≤ PSI_BUCKETS groups; the PSI sum is arithmetic over
+    10 rows.
     """
+    from page_rank_mapreduce_java_spark.operators.ranking import global_ntile
+
     o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
         _cents("o_totalprice").alias("v"),
         (F.to_date("o_orderdate") < F.lit(PSI_SPLIT_DATE)).alias("is_ref"),
     )
-    qs = ", ".join(str(i / PSI_BUCKETS) for i in range(1, PSI_BUCKETS))
-    bounds = o.filter("is_ref").agg(
-        F.expr(f"percentile(v, array({qs}))").alias("bs")
+    nt = global_ntile(
+        o.filter("is_ref").select("k", "v"),
+        PSI_BUCKETS,
+        [F.asc("v"), F.asc("k")],
+        out_col="b",
+    )
+    # Bucket maxes are monotone in b, so sort_array orders them 1..9.
+    bounds = (
+        nt.filter(F.col("b") < PSI_BUCKETS)
+        .groupBy("b")
+        .agg(F.max("v").alias("bv"))
+        .agg(F.sort_array(F.collect_list("bv")).alias("bs"))
     )
     bucketed = o.crossJoin(F.broadcast(bounds)).select(
         "is_ref",
@@ -858,13 +875,15 @@ def q_dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PSI_QS = ", ".join(str(i / PSI_BUCKETS) for i in range(1, PSI_BUCKETS))
 PSI_SQL = f"""
-    WITH o AS (SELECT {cents_sql('o_totalprice')} AS v,
+    WITH o AS (SELECT o_orderkey AS k, {cents_sql('o_totalprice')} AS v,
                       CAST(o_orderdate AS DATE) < DATE '{PSI_SPLIT_DATE}' AS is_ref
                FROM orders),
-    bounds AS (SELECT quantile_cont(v, [{_PSI_QS}]) AS bs
-               FROM o WHERE is_ref),
+    nt AS (SELECT ntile({PSI_BUCKETS}) OVER (ORDER BY v, k) AS b, v
+           FROM o WHERE is_ref),
+    bounds AS (SELECT list(bv ORDER BY b) AS bs
+               FROM (SELECT b, MAX(v) AS bv FROM nt
+                     WHERE b < {PSI_BUCKETS} GROUP BY 1)),
     bucketed AS (
       SELECT is_ref,
              list_reduce(list_prepend(0,

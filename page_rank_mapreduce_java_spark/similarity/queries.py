@@ -135,19 +135,24 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(vec, subspace) argmin window on a high-cardinality key);
     search = codes ⋈ broadcast LUT + keyed sum + per-query top-k
     window — no raw vectors at query time (similarity/pq.py)."""
-    from page_rank_mapreduce_java_spark.functions.vectors import sq_l2
-    from page_rank_mapreduce_java_spark.similarity.pq import (
-        PQ_M,
-        pq_encode,
-        pq_train,
-        subvector,
-    )
-    from pyspark.sql.window import Window
+    from page_rank_mapreduce_java_spark.similarity.pq import pq_encode, pq_train
 
     e = load_table(spark, "embeddings", sf_dir)
     cb = pq_train(e, dim=PQ_DIM)
     codes = pq_encode(e, cb, dim=PQ_DIM)
     q = e.filter(F.col("vec_id") < PQ_QUERY_VECS)
+    return _adc_topk_micro(cb, codes, q)
+
+
+def _adc_topk_micro(cb: DataFrame, codes: DataFrame, q: DataFrame) -> DataFrame:
+    """The PQ SERVING plan, shared by the end-to-end and pre-trained
+    variants: query slices ⋈ broadcast codebook → integer-micro LUT;
+    codes ⋈ broadcast LUT + keyed sum; per-query top-k window. Corpus
+    side touches only the codes relation."""
+    from page_rank_mapreduce_java_spark.functions.vectors import sq_l2
+    from page_rank_mapreduce_java_spark.similarity.pq import PQ_M, subvector
+    from pyspark.sql.window import Window
+
     qs = q.select(
         F.col("vec_id").alias("query_id"),
         F.explode(
@@ -184,6 +189,46 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_micro")
     )
+
+
+def q_ann_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 from a PERSISTED PQ index (VERDICT r4 next #6): the
+    codebook and codes relations are built OFFLINE (once per sf_dir,
+    parquet under /tmp — the 'index build' a serving system amortizes)
+    and the registered query is ONLY the serving plan: two parquet scans
+    ⋈ broadcast LUT + keyed sum + per-query top-k window (~5 exchanges
+    vs ann_pq_topk's 91, which compiles training+encode+search into one
+    static plan). Training is deterministic, so output — and the DuckDB
+    oracle — is identical to ann_pq_topk's."""
+    import hashlib
+    import os
+
+    from page_rank_mapreduce_java_spark.similarity.pq import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+        pq_train,
+    )
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{PQ_DIM}|{PQ_M}|{PQ_K}|v1".encode()
+    ).hexdigest()[:12]
+    base = f"/tmp/spark_graft_pq_index/{tag}"
+    marker = os.path.join(base, "_BUILT")
+    if not os.path.exists(marker):
+        e = load_table(spark, "embeddings", sf_dir)
+        cb = pq_train(e, dim=PQ_DIM)
+        codes = pq_encode(e, cb, dim=PQ_DIM)
+        cb.write.mode("overwrite").parquet(os.path.join(base, "codebook"))
+        codes.write.mode("overwrite").parquet(os.path.join(base, "codes"))
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    cb = spark.read.parquet(os.path.join(base, "codebook"))
+    codes = spark.read.parquet(os.path.join(base, "codes"))
+    q = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < PQ_QUERY_VECS
+    )
+    return _adc_topk_micro(cb, codes, q)
 
 
 def _pq_oracle_parts() -> tuple[str, str]:
@@ -277,6 +322,7 @@ QUERIES = {
     "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
     "ann_pq_codebook": q_ann_pq_codebook,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_serve_topk": q_ann_pq_serve_topk,
 }
 
 _KMEANS_CTES, _KMEANS_FINAL = kmeans_sql(k=IVF_CENTROIDS, iters=KMEANS_ITERS)
@@ -361,4 +407,7 @@ ORACLES = {
     """,
     "ann_pq_codebook": _pq_codebook_sql(),
     "ann_pq_topk": _pq_topk_sql(),
+    # identical output to ann_pq_topk: training is deterministic, the
+    # serving variant only changes WHERE the codebook/codes come from
+    "ann_pq_serve_topk": _pq_topk_sql(),
 }
