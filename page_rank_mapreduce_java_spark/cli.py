@@ -88,6 +88,7 @@ def full_registry() -> tuple[dict, dict]:
         relational9,
         relational10,
     )
+    from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
     from page_rank_mapreduce_java_spark.multimodal import phash as mm_phash
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
@@ -109,6 +110,7 @@ def full_registry() -> tuple[dict, dict]:
         dedup_queries,
         sim_queries,
         mm_phash,
+        mm_audiofp,
         text_queries,
         text_queries2,
         stream_queries,

@@ -1,0 +1,179 @@
+"""Audio fingerprint dedup — the audio modality on the same LSH machinery.
+
+Companion to phash.py (images): a windowed-energy acoustic fingerprint in
+the Haitsma–Kalker shape ("A Highly Robust Audio Fingerprint System",
+ISMIR 2002 — public literature; bits = band/frame energy comparisons),
+reduced to deterministic integer arithmetic so DuckDB can certify it:
+
+- Audio corpus: one real RIFF/WAV (PCM16 mono, 8 kHz) per document,
+  sample i = md5_long(md5(substr(text,1,64)) || ':' || i) % 65536 - 32768
+  for i in 0..255. Like the image grid, the signal derives from the
+  document HEAD, so the corpus's planted near-dup families (shared head,
+  later drift) produce identical audio → fingerprint collisions the pair
+  query must surface.
+- The WAV bytes are assembled in an Arrow-batched mapInPandas (encode)
+  and decoded back through media.py's real ``_wav_samples`` PCM16 reader
+  (decode) — PCM16 stores each sample exactly, so the round-trip is
+  lossless and the oracle can recompute the samples relationally.
+- Fingerprint: 32 windows × 8 samples; window energy E_w = Σ s² (int64,
+  ≤ 2^33); bit_w = 32·E_w > ΣE (above-mean energy, division-free). The
+  32 bits pack into one BIGINT.
+- Pairs: phash.hamming_blocked_pairs with 4×8-bit blocks, Hamming ≤ 3.
+
+Scale shape: identical to the image path — one narrow Arrow-batched pass
+per blob, then a (block, value) equi-join whose volume tracks near-dup
+volume, not corpus volume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.functions.hashes import md5_long_sql
+from page_rank_mapreduce_java_spark.multimodal.phash import (
+    PHASH_SEED_CHARS,
+    hamming_blocked_pairs,
+)
+
+AFP_SAMPLES = 256
+AFP_WINDOW = 8  # samples per energy window → 32 windows → 32 bits
+AFP_RATE = 8000
+AFP_BLOCKS = 4  # 8-bit Hamming blocks
+AFP_HAM_MAX = 3
+
+
+def _sample(seed_hex: str, i: int) -> int:
+    """Python twin of md5_long(seed || ':' || i) % 65536 - 32768."""
+    h = hashlib.md5(f"{seed_hex}:{i}".encode()).hexdigest()
+    return int(h[:15], 16) % 65536 - 32768
+
+
+def _encode_wav_pcm16(samples: list[int], rate: int = AFP_RATE) -> bytes:
+    """Minimal valid RIFF/WAV container around exact PCM16 mono samples."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def documents_to_wav(docs: DataFrame) -> DataFrame:
+    """Encode each document's deterministic sample stream as a real WAV
+    payload. Arrow-batched; one output row per doc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                seed = hashlib.md5(
+                    str(row["text"])[:PHASH_SEED_CHARS].encode()
+                ).hexdigest()
+                samples = [_sample(seed, i) for i in range(AFP_SAMPLES)]
+                out.append(
+                    {"doc_id": row["doc_id"], "payload": _encode_wav_pcm16(samples)}
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(run, "doc_id LONG, payload BINARY")
+
+
+def wav_fingerprint(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads through media._wav_samples and compute the
+    windowed-energy fingerprint: DataFrame[doc_id LONG, afp LONG]."""
+    from page_rank_mapreduce_java_spark.multimodal.media import _wav_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_win = AFP_SAMPLES // AFP_WINDOW
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                mono = _wav_samples(bytes(row["payload"]))[:, 0].astype(np.int64)
+                en = (mono * mono).reshape(n_win, AFP_WINDOW).sum(axis=1)
+                tot = int(en.sum())
+                bits = (n_win * en > tot).astype(np.int64)
+                afp = int((bits << np.arange(n_win)).sum())
+                out.append({"doc_id": row["doc_id"], "afp": afp})
+            yield pd.DataFrame(out, columns=["doc_id", "afp"])
+
+    return media.mapInPandas(run, "doc_id LONG, afp LONG")
+
+
+# --- registry queries ---------------------------------------------------------
+
+
+def q_mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document acoustic fingerprint through the full multimodal
+    path: deterministic PCM16 → real WAV encode → real WAV decode →
+    windowed-energy bits. The oracle recomputes the identical integers
+    relationally, certifying a lossless container round-trip."""
+    d = load_table(spark, "documents", sf_dir)
+    return wav_fingerprint(documents_to_wav(d))
+
+
+def q_mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs by blocked fingerprint Hamming
+    distance — audio dedup on the same chassis as images/simhash."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = wav_fingerprint(documents_to_wav(d))
+    return hamming_blocked_pairs(fp, "afp", AFP_BLOCKS, 8, AFP_HAM_MAX)
+
+
+_N_WIN = AFP_SAMPLES // AFP_WINDOW
+
+
+def _afp_cte() -> str:
+    s_expr = md5_long_sql("seed || ':' || i") + " % 65536 - 32768"
+    return f"""
+    d AS (SELECT doc_id, md5(substr(text, 1, {PHASH_SEED_CHARS})) AS seed
+          FROM documents),
+    idx AS (SELECT doc_id, seed, i
+            FROM d CROSS JOIN range({AFP_SAMPLES}) t(i)),
+    smp AS (SELECT doc_id, i // {AFP_WINDOW} AS w, {s_expr} AS s FROM idx),
+    en AS (SELECT doc_id, w, SUM(s * s) AS e FROM smp GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(e) AS te FROM en GROUP BY 1),
+    bits AS (SELECT en.doc_id, en.w,
+                    CASE WHEN {_N_WIN} * en.e > tot.te THEN 1 ELSE 0 END AS bit
+             FROM en JOIN tot ON en.doc_id = tot.doc_id),
+    fp AS (SELECT doc_id,
+                  CAST(SUM(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS afp
+           FROM bits GROUP BY 1)"""
+
+
+AFP_SQL = f"""
+    WITH {_afp_cte()}
+    SELECT doc_id, afp FROM fp
+"""
+
+_AFP_BLK_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, afp, {b} AS blk, (afp >> {8 * b}) & 255 AS bv FROM fp"
+    for b in range(AFP_BLOCKS)
+)
+
+AFP_PAIRS_SQL = f"""
+    WITH {_afp_cte()},
+    blocks AS ({_AFP_BLK_SELECTS})
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           bit_count(xor(x.afp, y.afp)) AS hamming
+    FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.bv = y.bv
+    WHERE x.doc_id < y.doc_id
+      AND bit_count(xor(x.afp, y.afp)) <= {AFP_HAM_MAX}
+"""
+
+QUERIES = {
+    "mm_audio_fingerprint": q_mm_audio_fingerprint,
+    "mm_audio_fp_pairs": q_mm_audio_fp_pairs,
+}
+
+ORACLES = {
+    "mm_audio_fingerprint": AFP_SQL,
+    "mm_audio_fp_pairs": AFP_PAIRS_SQL,
+}

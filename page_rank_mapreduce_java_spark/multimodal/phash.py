@@ -131,21 +131,33 @@ def bmp_phash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, "doc_id LONG, phash LONG")
 
 
-def phash_pairs(hashes: DataFrame) -> DataFrame:
-    """Hamming-blocked near-dup pairs over the pHash relation (the
-    dedup_simhash_pairs chassis): 4×16-bit block equi-join candidates,
-    exact Hamming verification on collisions only."""
+def hamming_blocked_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    n_blocks: int,
+    block_bits: int,
+    ham_max: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming-blocked near-dup pairs over an integer-hash relation (the
+    dedup_simhash_pairs chassis, generalized across modalities): split
+    the hash into ``n_blocks`` × ``block_bits`` blocks, equi-join docs
+    sharing any block value (pigeonhole: distance ≤ n_blocks - 1 ⇒ some
+    block equal), verify exact Hamming on collisions only."""
+    mask = (1 << block_bits) - 1
     blocks = None
-    for b in range(PHASH_BLOCKS):
+    for b in range(n_blocks):
         part = hashes.select(
-            "doc_id",
-            "phash",
+            F.col(id_col).alias("doc_id"),
+            F.col(hash_col).alias("_h"),
             F.lit(b).alias("blk"),
-            F.shiftright(F.col("phash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+            F.shiftright(F.col(hash_col), block_bits * b)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
         )
         blocks = part if blocks is None else blocks.unionByName(part)
     x, y = blocks.alias("x"), blocks.alias("y")
-    dist = F.bit_count(F.col("x.phash").bitwiseXOR(F.col("y.phash")))
+    dist = F.bit_count(F.col("x._h").bitwiseXOR(F.col("y._h")))
     return (
         x.join(y, ["blk", "bv"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -154,9 +166,14 @@ def phash_pairs(hashes: DataFrame) -> DataFrame:
             F.col("y.doc_id").alias("doc_b"),
             dist.alias("hamming"),
         )
-        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .filter(F.col("hamming") <= ham_max)
         .distinct()
     )
+
+
+def phash_pairs(hashes: DataFrame) -> DataFrame:
+    """pHash near-dup pairs: 4×16-bit blocks, Hamming ≤ 3."""
+    return hamming_blocked_pairs(hashes, "phash", PHASH_BLOCKS, 16, PHASH_HAM_MAX)
 
 
 # --- registry queries ---------------------------------------------------------
