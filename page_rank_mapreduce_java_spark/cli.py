@@ -87,6 +87,7 @@ def full_registry() -> tuple[dict, dict]:
         relational8,
         relational9,
         relational10,
+        recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
     from page_rank_mapreduce_java_spark.multimodal import phash as mm_phash
@@ -107,6 +108,7 @@ def full_registry() -> tuple[dict, dict]:
         relational8,
         relational9,
         relational10,
+        recommend,
         dedup_queries,
         sim_queries,
         mm_phash,

@@ -130,6 +130,78 @@ def kcore(
     return out
 
 
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (src<dst) edge set:
+    DataFrame[src, dst, support] covering every input edge (0 if
+    triangle-free). Uses the degree-oriented wedge join (triangle_counts
+    chassis, m^{3/2}-bounded), then explodes each triangle into its three
+    canonical edges and counts."""
+    und = _undirect(edges)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    o = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")), "dst")
+        .filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    w1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    closing = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+                ),
+                F.struct(
+                    F.least("u", "w").alias("src"), F.greatest("u", "w").alias("dst")
+                ),
+                F.struct(F.col("v").alias("src"), F.col("w").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    counts = tri_edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support"))
+    return edges.join(counts, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss(
+    edges: DataFrame, k: int = 4, rounds: int = 4, stop_early: bool = True
+) -> DataFrame:
+    """k-truss edge peeling (Cohen, "Trusses: Cohesive Subgraphs for
+    Social Network Analysis", NSA technical report 2008 — public
+    literature): repeatedly drop edges in fewer than k-2 triangles of the
+    surviving subgraph. Returns DataFrame[src, dst, support] — the truss
+    edges with their within-truss support after ``rounds`` peels.
+
+    Same chassis as kcore: one materialized support vector per round, a
+    lazy filter for the survivor set, a ``first()`` fixpoint probe for
+    ``stop_early`` (oracle-safe — a stable truss is unchanged by extra
+    rounds; the DuckDB oracle unrolls the full budget). Each round costs
+    one degree-oriented wedge join — the m^{3/2}-bounded triangle pass —
+    against the current (shrinking) edge set.
+    """
+    from page_rank_mapreduce_java_spark.plans.checkpoints import cut_lineage
+
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    cur = cut_lineage(edges.distinct())
+    sup = None
+    for _ in range(rounds):
+        sup = cut_lineage(_edge_support(cur))
+        cur = sup.filter(F.col("support") >= k - 2).select("src", "dst")
+        if stop_early and sup.filter(F.col("support") < k - 2).first() is None:
+            break
+    return sup.filter(F.col("support") >= k - 2).select("src", "dst", "support")
+
+
 # --- DuckDB oracle builders ---------------------------------------------------
 
 
@@ -164,6 +236,53 @@ def triangles_sql(edges_cte: str) -> str:
         SELECT deg.id, COALESCE(per_node.t, 0) AS triangles
         FROM deg LEFT JOIN per_node ON deg.id = per_node.id
     """
+
+
+def ktruss_sql(edges_cte: str, k: int = 4, rounds: int = 4) -> str:
+    """Oracle for ``ktruss``: the same synchronous edge peel unrolled as
+    a CTE chain (degree → orientation → wedge-closed triangles →
+    per-edge support → filter, once per round)."""
+    parts = [
+        f"""WITH e0 AS MATERIALIZED ({edges_cte})"""
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+          SELECT src, dst FROM {prev}
+          UNION ALL SELECT dst AS src, src AS dst FROM {prev}
+        ),
+        d{r} AS (SELECT src AS id, COUNT(*) AS d FROM u{r} GROUP BY 1),
+        o{r} AS MATERIALIZED (
+          SELECT u.src, u.dst FROM u{r} u
+          JOIN d{r} a ON u.src = a.id JOIN d{r} b ON u.dst = b.id
+          WHERE (a.d < b.d) OR (a.d = b.d AND u.src < u.dst)
+        ),
+        t{r} AS MATERIALIZED (
+          SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+          FROM o{r} w1 JOIN o{r} w2 ON w1.src = w2.src AND w1.dst < w2.dst
+          JOIN {prev} e ON e.src = w1.dst AND e.dst = w2.dst
+        ),
+        s{r} AS MATERIALIZED (
+          SELECT src, dst, COUNT(*) AS n FROM (
+            SELECT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM t{r}
+            UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM t{r}
+            UNION ALL SELECT v, w FROM t{r}
+          ) GROUP BY 1, 2
+        ),
+        e{r} AS MATERIALIZED (
+          SELECT e.src, e.dst, COALESCE(s.n, 0) AS support
+          FROM {prev} e LEFT JOIN s{r} s ON e.src = s.src AND e.dst = s.dst
+          WHERE COALESCE(s.n, 0) >= {k - 2}
+        )"""
+        )
+        prev = f"e{r}"
+    return (
+        ",\n        ".join(parts)
+        + f"""
+        SELECT src, dst, CAST(support AS BIGINT) AS support FROM e{rounds}
+    """
+    )
 
 
 def kcore_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:

@@ -315,6 +315,100 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(cooccurrence_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
 
 
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 4
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the supplier co-occurrence graph: edges supported by at
+    least 2 triangles of the surviving subgraph after synchronous edge
+    peeling — the edge-cohesion analogue of k-core, on the same
+    materialize/probe/early-exit chassis (graph/motifs.ktruss)."""
+    from page_rank_mapreduce_java_spark.graph.motifs import ktruss
+
+    return ktruss(
+        cooccurrence_edges(spark, sf_dir), k=KTRUSS_K, rounds=KTRUSS_ROUNDS
+    )
+
+
+WALK_STEPS = 3
+
+
+def q_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random' walks over the co-occurrence graph — the
+    corpus-sampling primitive behind DeepWalk/node2vec graph embeddings
+    (Perozzi et al., KDD 2014; Grover & Leskovec, KDD 2016 — public
+    literature), made reproducible: at step t, walk w at node v moves to
+    the neighbor with rank md5_long(w||':'||t||':'||v) mod deg(v) in the
+    (src, dst-sorted) adjacency. One walk starts at every node; output is
+    the full trace (walk_id, step, node).
+
+    Scale shape: the adjacency is ranked ONCE by a window over the
+    high-cardinality src key; each step is walk-state ⋈ out-degree (to
+    compute the hash choice) then an equi-join on (node, rank) — the
+    frontier-join superstep cost, state never edge-sized. Unrolled to
+    WALK_STEPS joins, so the oracle mirrors it as a CTE chain.
+    """
+    from page_rank_mapreduce_java_spark.functions.hashes import md5_long
+    from pyspark.sql.window import Window
+
+    edges = cooccurrence_edges(spark, sf_dir).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    outdeg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = und.withColumn("idx", F.row_number().over(w) - 1)
+    state = outdeg.select(F.col("id").alias("walk_id"), F.col("id").alias("node"))
+    trace = state.select("walk_id", F.lit(0).cast("long").alias("step"), "node")
+    for t in range(1, WALK_STEPS + 1):
+        choice = md5_long(
+            F.concat_ws(":", F.col("walk_id"), F.lit(t), F.col("node"))
+        ) % F.col("n")
+        st = state.join(outdeg, state.node == outdeg.id).withColumn("c", choice)
+        state = st.join(
+            ranked, (st.node == ranked.src) & (st.c == ranked.idx)
+        ).select("walk_id", F.col("dst").alias("node"))
+        trace = trace.unionByName(
+            state.select("walk_id", F.lit(t).cast("long").alias("step"), "node")
+        )
+    return trace
+
+
+def _hash_walks_sql() -> str:
+    from page_rank_mapreduce_java_spark.functions.hashes import md5_long_sql
+
+    parts = [
+        f"""WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    outdeg AS (SELECT src AS id, COUNT(*) AS n FROM und GROUP BY 1),
+    ranked AS MATERIALIZED (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+      FROM und),
+    s0 AS (SELECT id AS walk_id, id AS node FROM outdeg)"""
+    ]
+    prev = "s0"
+    for t in range(1, 3 + 1):
+        choice = md5_long_sql(f"s.walk_id || ':' || {t} || ':' || s.node")
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+      SELECT s.walk_id, r.dst AS node
+      FROM {prev} s
+      JOIN outdeg o ON s.node = o.id
+      JOIN ranked r ON r.src = s.node AND r.idx = {choice} % o.n)"""
+        )
+        prev = f"s{t}"
+    steps = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM s{t}"
+        for t in range(0, 3 + 1)
+    )
+    return ",\n    ".join(parts) + f"\n    {steps}"
+
+
 HITS_ITERS = 5
 
 
@@ -971,6 +1065,8 @@ QUERIES = {
     "graph_personalized_pagerank": q_personalized_pagerank,
     "graph_triangle_counts": q_triangle_counts,
     "graph_kcore": q_kcore,
+    "graph_ktruss": q_ktruss,
+    "graph_hash_walks": q_hash_walks,
     "graph_hits": q_hits,
     "graph_common_neighbors": q_common_neighbors,
     "graph_scc": q_scc,
@@ -1021,10 +1117,18 @@ ORACLES = {
 
 # Import placed late to keep the oracle builders' reading order; the
 # module has no import-time Spark dependency.
-from page_rank_mapreduce_java_spark.graph.motifs import kcore_sql, triangles_sql  # noqa: E402
+from page_rank_mapreduce_java_spark.graph.motifs import (  # noqa: E402
+    kcore_sql,
+    ktruss_sql,
+    triangles_sql,
+)
 
 ORACLES["graph_triangle_counts"] = triangles_sql(COOC_EDGES_SQL)
 ORACLES["graph_kcore"] = kcore_sql(COOC_EDGES_SQL, k=KCORE_K, rounds=KCORE_ROUNDS)
+ORACLES["graph_ktruss"] = ktruss_sql(
+    COOC_EDGES_SQL, k=KTRUSS_K, rounds=KTRUSS_ROUNDS
+)
+ORACLES["graph_hash_walks"] = _hash_walks_sql()
 ORACLES["graph_hits"] = _hits_oracle_sql()
 ORACLES["graph_clustering_coeff"] = _clustering_coeff_oracle_sql()
 

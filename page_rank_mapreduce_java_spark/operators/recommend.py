@@ -1,0 +1,196 @@
+"""Item-item collaborative filtering over the order history — the
+classic implicit-feedback recommender (Sarwar et al., "Item-Based
+Collaborative Filtering Recommendation Algorithms", WWW 2001; Linden et
+al., IEEE Internet Computing 2003 — public literature), expressed as the
+equi-join + aggregate shapes Spark executes natively.
+
+User–item interactions: c(u, i) = lineitem rows customer u has for part
+i (orders ⋈ lineitem). Item-item similarity = cosine over the user
+dimension; ranking avoids ALL floating arithmetic by ordering on
+cos²·10⁶ computed with integer cross-multiplication in DECIMAL(38,0) /
+HUGEINT (the PPS overflow-headroom convention):
+
+    cos²(i,j)·10⁶ = (dot(i,j)² · 10⁶) div (‖i‖²·‖j‖²)
+
+which preserves the cosine ORDER exactly (cos ≥ 0 here — counts are
+non-negative) and is bit-identical across engines.
+
+Scale design (100 TB of interactions):
+- the pair generator self-joins user→items on user_id: fan-out per user
+  is basket² — bounded by per-user activity, never corpus-quadratic
+  (the basket_pair_counts argument); a production run caps pathological
+  users first (the heavy-user filter is one degree aggregate).
+- norms join on the HIGH-cardinality item key, map-side partial sums
+  apply everywhere, and the final per-item top-k is a window over the
+  item key (high-cardinality again).
+- user recommendation joins the user's items against the top-k neighbor
+  relation (k·basket rows per user) and anti-joins owned items — no
+  user×item product anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+
+REC_TOP_K = 5  # neighbors kept per item
+REC_USER_N = 3  # recommendations per user
+REC_USER_MOD = 100  # user sample for the recommendation query
+
+
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c(u, i): DataFrame[user_id, item_id, c] from orders ⋈ lineitem."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("user_id")
+    )
+    l = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item_id")
+    )
+    return (
+        l.join(o, "ok")
+        .groupBy("user_id", "item_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def item_item_topk(inter: DataFrame, k: int = REC_TOP_K) -> DataFrame:
+    """Top-k neighbors per item by integer-exact cos² ranking.
+
+    Returns DataFrame[item_id, neighbor_id, dot, cos2_micro] — both
+    directions of each pair are ranked (a neighbor list per item)."""
+    norms = inter.groupBy("item_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a, b = inter.alias("a"), inter.alias("b")
+    dots = (
+        a.join(b, "user_id")
+        .filter(F.col("a.item_id") != F.col("b.item_id"))
+        .groupBy(
+            F.col("a.item_id").alias("item_id"),
+            F.col("b.item_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("item_id", "item_id").alias("na"), "item_id")
+        .join(
+            norms.select(
+                F.col("item_id").alias("neighbor_id"), F.col("n2").alias("nb2")
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cos2_micro",
+            F.expr(
+                "CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000)"
+                " div (CAST(n2 AS DECIMAL(38,0)) * nb2) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(
+        F.desc("cos2_micro"), F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("item_id", "neighbor_id", "dot", "cos2_micro")
+    )
+
+
+def q_rec_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item top-5 most-similar items by implicit-feedback cosine,
+    ranked without floating arithmetic (cos²·10⁶ via DECIMAL cross-
+    multiplication) so both engines order identically."""
+    return item_item_topk(_interactions(spark, sf_dir))
+
+
+def q_rec_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 item recommendations for the sampled user cohort
+    (user_id % REC_USER_MOD == 0): score(u, j) = Σ_{i∈I(u)} c(u,i) ·
+    cos2_micro(i, j) over each owned item's top-k neighbors, excluding
+    items the user already interacted with. Integer scores; ties break
+    on item id."""
+    inter = _interactions(spark, sf_dir)
+    sims = item_item_topk(inter)
+    cohort = inter.filter(F.col("user_id") % REC_USER_MOD == 0)
+    scores = (
+        cohort.join(sims, "item_id")
+        .groupBy("user_id", F.col("neighbor_id").alias("rec_id"))
+        .agg(F.sum(F.col("c") * F.col("cos2_micro")).alias("score"))
+    )
+    owned = cohort.select("user_id", F.col("item_id").alias("rec_id"))
+    fresh = scores.join(owned, ["user_id", "rec_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("rec_id"))
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= REC_USER_N)
+        .select("user_id", "rec_id", "score")
+    )
+
+
+_INTER_CTE = """
+    inter AS (
+      SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+             COUNT(*) AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2)"""
+
+_SIMS_CTE = f"""
+    norms AS (SELECT item_id, SUM(c * c) AS n2 FROM inter GROUP BY 1),
+    dots AS (
+      SELECT a.item_id AS item_id, b.item_id AS neighbor_id,
+             SUM(a.c * b.c) AS dot
+      FROM inter a JOIN inter b ON a.user_id = b.user_id
+      WHERE a.item_id <> b.item_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.item_id, d.neighbor_id, d.dot,
+             CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+                  // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_micro
+      FROM dots d
+      JOIN norms na ON d.item_id = na.item_id
+      JOIN norms nb ON d.neighbor_id = nb.item_id),
+    sims AS (
+      SELECT item_id, neighbor_id, dot, cos2_micro
+      FROM (SELECT *, row_number() OVER (PARTITION BY item_id
+              ORDER BY cos2_micro DESC, dot DESC, neighbor_id) AS rn
+            FROM scored)
+      WHERE rn <= {REC_TOP_K})"""
+
+ITEM_ITEM_SQL = f"""
+    WITH {_INTER_CTE},
+    {_SIMS_CTE}
+    SELECT item_id, neighbor_id, CAST(dot AS BIGINT) AS dot, cos2_micro
+    FROM sims
+"""
+
+USER_TOPN_SQL = f"""
+    WITH {_INTER_CTE},
+    {_SIMS_CTE},
+    cohort AS (SELECT * FROM inter WHERE user_id % {REC_USER_MOD} = 0),
+    scores AS (
+      SELECT ch.user_id, s.neighbor_id AS rec_id,
+             CAST(SUM(ch.c * s.cos2_micro) AS BIGINT) AS score
+      FROM cohort ch JOIN sims s ON ch.item_id = s.item_id
+      GROUP BY 1, 2),
+    fresh AS (
+      SELECT sc.* FROM scores sc
+      WHERE NOT EXISTS (SELECT 1 FROM cohort ow
+                        WHERE ow.user_id = sc.user_id
+                          AND ow.item_id = sc.rec_id))
+    SELECT user_id, rec_id, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY score DESC, rec_id) AS rn FROM fresh)
+    WHERE rn <= {REC_USER_N}
+"""
+
+QUERIES = {
+    "rec_item_item_topk": q_rec_item_item_topk,
+    "rec_user_topn": q_rec_user_topn,
+}
+
+ORACLES = {
+    "rec_item_item_topk": ITEM_ITEM_SQL,
+    "rec_user_topn": USER_TOPN_SQL,
+}

@@ -413,7 +413,50 @@ CENTERED_MA_SQL = f"""
 """
 
 
+TRIGRAM_TOP = 20
+
+
+def q_events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 behavioral paths: consecutive event-type triples
+    per user stream (ts, event_id total order — the transitions-query
+    convention extended one LEAD further), counted globally. The
+    second-order sequence mining any funnel/recommendation analysis
+    starts from.
+
+    Scale shape: two LEADs over the high-cardinality user_id window, one
+    hash aggregate to the triple grain (bounded by |event_type|³ ≈ 10²
+    groups), then the global top-k is a sort of that bounded relation —
+    never a fact-table window."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = (
+        e.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(F.col("event_type").alias("e1"), "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return triples.orderBy(F.desc("n"), "e1", "e2", "e3").limit(TRIGRAM_TOP)
+
+
+TRIGRAM_PATHS_SQL = f"""
+    WITH s AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events)
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {TRIGRAM_TOP}
+"""
+
+
 QUERIES = {
+    "events_trigram_paths": q_events_trigram_paths,
     "events_dow_seasonality": q_events_dow_seasonality,
     "events_changepoint": q_events_changepoint,
     "events_cusum": q_events_cusum,
@@ -423,6 +466,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_trigram_paths": TRIGRAM_PATHS_SQL,
     "events_dow_seasonality": DOW_SEASONALITY_SQL,
     "events_changepoint": CHANGEPOINT_SQL,
     "events_cusum": CUSUM_SQL,
