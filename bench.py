@@ -83,6 +83,15 @@ HEADLINE = [
     "rfm_segments",
     "graph_clustering_coeff",
     "rolling_7d_distinct_users",
+    # round 5 additions
+    "dq_value_drift_psi",
+    "sample_pps_orders",
+    "ann_pq_serve_topk",
+    "graph_ktruss",
+    "graph_hash_walks",
+    "rec_item_item_topk",
+    "mm_image_phash_pairs",
+    "mm_audio_fp_pairs",
 ]
 
 
@@ -96,8 +105,10 @@ def _calibration_probe(spark) -> float:
     import time as _t
 
     t0 = _t.time()
+    # bit_xor, not sum: summing 2×10⁸ pseudo-random longs overflows int64
+    # under ANSI mode; xor folds the same work with no overflow.
     spark.range(0, 200_000_000, 1, 32).selectExpr(
-        "sum(xxhash64(id)) AS s"
+        "bit_xor(xxhash64(id)) AS s"
     ).write.format("noop").mode("overwrite").save()
     return round(_t.time() - t0, 3)
 

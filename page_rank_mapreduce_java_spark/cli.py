@@ -87,6 +87,7 @@ def full_registry() -> tuple[dict, dict]:
         relational8,
         relational9,
         relational10,
+        relational11,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -108,6 +109,7 @@ def full_registry() -> tuple[dict, dict]:
         relational8,
         relational9,
         relational10,
+        relational11,
         recommend,
         dedup_queries,
         sim_queries,
