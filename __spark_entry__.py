@@ -132,9 +132,15 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 
 # Queries registered too late for the current round's audit window are
 # deferred here so the window stays spent on the recorded backlog.
-# Round 5: empty — the six late-r4 registrations now earn driver
-# evidence (they sort into group 0, ahead of this round's additions).
-_DEFER_TO_NEXT_ROUND = frozenset()
+# Round 5: the dedup persist A/B edits transitively hash-staled the
+# whole dedup family (8 greens), putting demand at 53 for 50 slots; the
+# three newest round-5 registrations wait one round so the stale-green
+# re-certifications keep their slots. All three pass the local
+# value-hash replica at sf0.001 and sf0.01 (tools/check_oracle.py, this
+# session).
+_DEFER_TO_NEXT_ROUND = frozenset(
+    {"graph_square_count", "text_unigram_nll", "events_trigram_paths"}
+)
 
 
 def _audit_order(q: dict, o: dict) -> list[str]:

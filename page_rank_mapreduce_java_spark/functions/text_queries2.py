@@ -242,11 +242,65 @@ NGRAM_NOVELTY_SQL = f"""
 """
 
 
+def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's own
+    unigram language model — the perplexity-proxy quality score an LLM
+    data pipeline uses to rank/filter documents (high NLL = unusual
+    token mix). p(w) = corpus_count(w) / corpus_tokens; each token's
+    -ln p(w) is snapped to integer micro-nats BEFORE summation (the
+    money convention applied to log-space), so the per-doc sum is
+    order-independent integer addition on both engines. Output:
+    (doc_id, n_tokens, nll_micro) — no division, callers derive the
+    mean.
+
+    Scale shape: one token explode feeding (a) the word-count aggregate
+    (map-side combinable, vocab-sized result) and (b) the per-doc join
+    back on the word key; the 1-row total broadcasts. The model table is
+    vocab-sized — at 100 TB it is the broadcast side of the scoring
+    join."""
+    d = load_table(spark, "documents", sf_dir)
+    wx = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    counts = wx.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("tot"))
+    scored = (
+        wx.join(counts, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("tot").cast("double") / F.col("cnt").cast("double")) * 1e6
+            )
+            .cast("long")
+            .alias("nll_w"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("nll_w").alias("nll_micro"),
+    )
+
+
+UNIGRAM_NLL_SQL = f"""
+    WITH wx AS (SELECT doc_id, unnest({WORDS_SQL}) AS word FROM documents),
+    counts AS (SELECT word, COUNT(*) AS cnt FROM wx GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS tot FROM counts),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e6, 0)
+                  AS BIGINT) AS nll_w
+      FROM wx JOIN counts USING (word), tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nll_w) AS BIGINT) AS nll_micro
+    FROM scored GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_ttr_by_lang": q_text_ttr_by_lang,
     "text_charclass_by_lang": q_text_charclass_by_lang,
     "text_prefix_dup_rate": q_text_prefix_dup_rate,
     "text_ngram_novelty": q_text_ngram_novelty,
+    "text_unigram_nll": q_text_unigram_nll,
 }
 
 ORACLES = {
@@ -254,4 +308,5 @@ ORACLES = {
     "text_charclass_by_lang": CHARCLASS_SQL,
     "text_prefix_dup_rate": PREFIX_DUP_SQL,
     "text_ngram_novelty": NGRAM_NOVELTY_SQL,
+    "text_unigram_nll": UNIGRAM_NLL_SQL,
 }

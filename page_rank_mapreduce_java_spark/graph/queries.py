@@ -572,6 +572,42 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle (square) count of the hub-capped co-occurrence
+    graph: every C4 has two diagonal pairs, each contributing
+    C(n_common, 2) closures, so n_squares = SUM C(cn, 2) / 2 over the
+    common-neighbor pair relation — exactly the link-prediction wedge
+    relation q_common_neighbors already builds, folded one aggregate
+    further (square counting per Chiba-Nishizeki; the bound comes from
+    the same hub cap). The division by 2 is exact: the sum is even by
+    the diagonal-pair argument. One-row output (n_squares, n_pairs)."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cn = common_neighbor_counts(sym, deg_cap=COMMON_NEIGHBORS_DEG_CAP)
+    return cn.agg(
+        F.expr(f"sum(n_common * (n_common - 1)) div 4").alias("n_squares"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+SQUARE_COUNT_SQL = f"""
+    WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    keep AS (SELECT dst FROM sym GROUP BY dst
+             HAVING COUNT(*) <= {COMMON_NEIGHBORS_DEG_CAP}),
+    symc AS (SELECT s.src, s.dst FROM sym s JOIN keep USING (dst)),
+    p AS (
+      SELECT a.src AS u, b.src AS v, COUNT(*) AS n_common
+      FROM symc a JOIN symc b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2)
+    SELECT CAST(SUM(n_common * (n_common - 1)) // 4 AS BIGINT) AS n_squares,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p
+"""
+
+
 COMMON_NEIGHBORS_SQL = f"""
     WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
     sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
@@ -1067,6 +1103,7 @@ QUERIES = {
     "graph_kcore": q_kcore,
     "graph_ktruss": q_ktruss,
     "graph_hash_walks": q_hash_walks,
+    "graph_square_count": q_square_count,
     "graph_hits": q_hits,
     "graph_common_neighbors": q_common_neighbors,
     "graph_scc": q_scc,
@@ -1129,6 +1166,7 @@ ORACLES["graph_ktruss"] = ktruss_sql(
     COOC_EDGES_SQL, k=KTRUSS_K, rounds=KTRUSS_ROUNDS
 )
 ORACLES["graph_hash_walks"] = _hash_walks_sql()
+ORACLES["graph_square_count"] = SQUARE_COUNT_SQL
 ORACLES["graph_hits"] = _hits_oracle_sql()
 ORACLES["graph_clustering_coeff"] = _clustering_coeff_oracle_sql()
 

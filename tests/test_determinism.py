@@ -56,6 +56,10 @@ QUERIES_UNDER_TEST = [
     "graph_degree_assortativity",
     "events_daily_acf",
     "corr_pairs_lineitem",
+    # round-5: per-token ln() snapped to micro-nats before the integer
+    # sum — partition-invariant by construction, but the rounding rides
+    # IEEE ln, so keep it under layout surveillance like the corr family
+    "text_unigram_nll",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
