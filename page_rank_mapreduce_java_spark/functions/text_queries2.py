@@ -262,8 +262,11 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     wx = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
     counts = wx.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     tot = counts.agg(F.sum("cnt").alias("tot"))
+    # Broadcast the model: the counts relation is vocab-sized, and the
+    # word key is maximally skewed (stopwords) — a shuffle join here
+    # would funnel the "the"-partition through one task at scale.
     scored = (
-        wx.join(counts, "word")
+        wx.join(F.broadcast(counts), "word")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
