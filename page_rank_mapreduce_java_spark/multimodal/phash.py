@@ -11,13 +11,15 @@ modality plugged into the same machinery.
 Everything is deterministic INTEGER arithmetic so a DuckDB oracle can
 certify it end to end:
 
-- Image corpus: one 8×8 grayscale BMP per document, pixel (r, c) =
-  md5_long(md5(substr(text,1,64)) || ':' || r || ':' || c) % 256.
-  Derived from the LEADING-CONTENT digest: the corpus's planted near-dup
-  families share their document head and drift later, so family members
-  render identical images → pHash collisions at hamming 0 that the pair
-  query must find (~20 such pairs at sf0.01), while unrelated docs give
-  independent grids. The BMP bytes are assembled in an Arrow-batched
+- Image corpus: one 8×8 grayscale BMP per document. Pixels come 16 per
+  digest: block j = md5(seed || ':' || j) yields 16 byte pixels (2 hex
+  chars each) — 4 md5 calls per doc instead of 64 (the audio module's
+  digest-carving trick; Python hashing dominated the encode leg).
+  Derived from the LEADING-CONTENT digest (seed = md5(substr(text,1,64))):
+  the corpus's planted near-dup families share their document head and
+  drift later, so family members render identical images → pHash
+  collisions at hamming 0 that the pair query must find (~20 such pairs
+  at sf0.01), while unrelated docs give independent grids. The BMP bytes are assembled in an Arrow-batched
   mapInPandas (the encode leg) and decoded back through media.py's real
   _bmp_pixels (the decode leg) — the hash never shortcuts past the
   container format.
@@ -50,13 +52,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from page_rank_mapreduce_java_spark.catalog import load_table
-from page_rank_mapreduce_java_spark.functions.hashes import md5_long_sql
 
 PHASH_GRID = 8  # pixel grid and DCT size
 PHASH_BASIS_SCALE = 1 << 14
 PHASH_BLOCKS = 4  # 16-bit Hamming blocks → pigeonhole-complete for d ≤ 3
 PHASH_HAM_MAX = 3
 PHASH_SEED_CHARS = 64  # image = digest of the document head (near-dup families share it)
+PHASH_PER_DIGEST = 16  # byte pixels carved from each 32-hex md5 digest
 
 
 def dct_basis_int(n: int = PHASH_GRID, scale: int = PHASH_BASIS_SCALE) -> list[list[int]]:
@@ -70,9 +72,12 @@ def dct_basis_int(n: int = PHASH_GRID, scale: int = PHASH_BASIS_SCALE) -> list[l
 
 
 def _pixel(seed_hex: str, r: int, c: int) -> int:
-    """Python twin of the oracle's md5_long(seed || ':' || r || ':' || c) % 256."""
-    h = hashlib.md5(f"{seed_hex}:{r}:{c}".encode()).hexdigest()
-    return int(h[:15], 16) % 256
+    """Python twin of the oracle's digest-block pixel: linear index
+    i = 8r + c, block j = i div 16, slot t = i mod 16; pixel = byte
+    slice t of md5(seed || ':' || j)."""
+    j, t = divmod(8 * r + c, PHASH_PER_DIGEST)
+    h = hashlib.md5(f"{seed_hex}:{j}".encode()).hexdigest()
+    return int(h[2 * t : 2 * t + 2], 16)
 
 
 def documents_to_bmp(docs: DataFrame) -> DataFrame:
@@ -89,12 +94,12 @@ def documents_to_bmp(docs: DataFrame) -> DataFrame:
                 seed = hashlib.md5(
                     str(row["text"])[:PHASH_SEED_CHARS].encode()
                 ).hexdigest()
-                g = np.array(
-                    [
-                        [_pixel(seed, r, c) for c in range(PHASH_GRID)]
-                        for r in range(PHASH_GRID)
-                    ],
-                    dtype=np.uint8,
+                px_bytes = b"".join(
+                    bytes.fromhex(hashlib.md5(f"{seed}:{j}".encode()).hexdigest())
+                    for j in range(PHASH_GRID * PHASH_GRID // PHASH_PER_DIGEST)
+                )
+                g = np.frombuffer(px_bytes, dtype=np.uint8).reshape(
+                    PHASH_GRID, PHASH_GRID
                 )
                 px = np.repeat(g[:, :, None], 3, axis=2)  # BGR, gray
                 out.append({"doc_id": row["doc_id"], "payload": _encode_bmp(px)})
@@ -206,14 +211,17 @@ def _basis_values_sql() -> str:
 
 
 def _phash_cte() -> str:
-    px_expr = md5_long_sql("seed || ':' || r || ':' || c") + " % 256"
+    n_blocks = PHASH_GRID * PHASH_GRID // PHASH_PER_DIGEST
     return f"""
-    d AS (SELECT doc_id, md5(substr(text, 1, 64)) AS seed
+    d AS (SELECT doc_id, md5(substr(text, 1, {PHASH_SEED_CHARS})) AS seed
           FROM documents),
-    cells AS (SELECT doc_id, seed, tr.r, tc.c
-              FROM d CROSS JOIN range({PHASH_GRID}) tr(r)
-                     CROSS JOIN range({PHASH_GRID}) tc(c)),
-    px AS (SELECT doc_id, r, c, {px_expr} AS p FROM cells),
+    blkx AS (SELECT doc_id, j, md5(seed || ':' || j) AS h
+             FROM d CROSS JOIN range({n_blocks}) tj(j)),
+    px AS (SELECT doc_id,
+                  (j * {PHASH_PER_DIGEST} + t) // {PHASH_GRID} AS r,
+                  (j * {PHASH_PER_DIGEST} + t) % {PHASH_GRID} AS c,
+                  CAST('0x' || substr(h, 2 * t + 1, 2) AS BIGINT) AS p
+           FROM blkx CROSS JOIN range({PHASH_PER_DIGEST}) tt(t)),
     basis(u, r, b) AS (SELECT * FROM (VALUES {_basis_values_sql()}) t),
     t1 AS (SELECT p.doc_id, bu.u AS u, p.c AS c, SUM(p.p * bu.b) AS t
            FROM px p JOIN basis bu ON bu.r = p.r GROUP BY 1, 2, 3),
