@@ -133,13 +133,17 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # Queries registered too late for the current round's audit window are
 # deferred here so the window stays spent on the recorded backlog.
 # Round 5: the dedup persist A/B edits transitively hash-staled the
-# whole dedup family (8 greens), putting demand at 53 for 50 slots; the
-# three newest round-5 registrations wait one round so the stale-green
-# re-certifications keep their slots. All three pass the local
-# value-hash replica at sf0.001 and sf0.01 (tools/check_oracle.py, this
-# session).
+# whole dedup family (8 greens), putting demand over the 50 slots; the
+# four newest round-5 registrations wait one round so the stale-green
+# re-certifications keep their slots. All four pass the local
+# value-hash replica at sf0.01 (tools/check_oracle.py, this session).
 _DEFER_TO_NEXT_ROUND = frozenset(
-    {"graph_square_count", "text_unigram_nll", "events_trigram_paths"}
+    {
+        "graph_square_count",
+        "text_unigram_nll",
+        "events_trigram_paths",
+        "mm_phash_keepers",
+    }
 )
 
 

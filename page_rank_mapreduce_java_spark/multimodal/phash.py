@@ -80,10 +80,17 @@ def _pixel(seed_hex: str, r: int, c: int) -> int:
     return int(h[2 * t : 2 * t + 2], 16)
 
 
-def documents_to_bmp(docs: DataFrame) -> DataFrame:
+def documents_to_bmp(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Encode each document's deterministic 8×8 grayscale grid as a real
-    24bpp BMP payload (B=G=R). Arrow-batched; one output row per doc."""
+    24bpp BMP payload (B=G=R). Arrow-batched; one output row per doc.
+    ``carry`` names extra input columns passed through unchanged (e.g. an
+    event-time column for the streaming dedup path)."""
     from page_rank_mapreduce_java_spark.multimodal.media import _encode_bmp
+
+    cols = ["doc_id", "payload", *carry]
+    carry_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -102,16 +109,26 @@ def documents_to_bmp(docs: DataFrame) -> DataFrame:
                     PHASH_GRID, PHASH_GRID
                 )
                 px = np.repeat(g[:, :, None], 3, axis=2)  # BGR, gray
-                out.append({"doc_id": row["doc_id"], "payload": _encode_bmp(px)})
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+                rec = {"doc_id": row["doc_id"], "payload": _encode_bmp(px)}
+                for c in carry:
+                    rec[c] = row[c]
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
-    return docs.select("doc_id", "text").mapInPandas(run, "doc_id LONG, payload BINARY")
+    return docs.select("doc_id", "text", *carry).mapInPandas(
+        run, "doc_id LONG, payload BINARY" + carry_schema
+    )
 
 
-def bmp_phash(media: DataFrame) -> DataFrame:
+def bmp_phash(media: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Decode BMP payloads through media._bmp_pixels and compute the
-    integer DCT pHash: DataFrame[doc_id LONG, phash LONG]."""
+    integer DCT pHash: DataFrame[doc_id LONG, phash LONG, *carry]."""
     from page_rank_mapreduce_java_spark.multimodal.media import _bmp_pixels
+
+    cols = ["doc_id", "phash", *carry]
+    carry_schema = "".join(
+        f", {c} {media.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -130,10 +147,13 @@ def bmp_phash(media: DataFrame) -> DataFrame:
                 tot = int(ac.sum())
                 bits = (63 * ac > tot).astype(np.int64)
                 phash = int((bits << (ac_idx - 1)).sum())
-                out.append({"doc_id": row["doc_id"], "phash": phash})
-            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+                rec = {"doc_id": row["doc_id"], "phash": phash}
+                for c in carry:
+                    rec[c] = row[c]
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
-    return media.mapInPandas(run, "doc_id LONG, phash LONG")
+    return media.mapInPandas(run, "doc_id LONG, phash LONG" + carry_schema)
 
 
 def hamming_blocked_pairs(
@@ -179,6 +199,38 @@ def hamming_blocked_pairs(
 def phash_pairs(hashes: DataFrame) -> DataFrame:
     """pHash near-dup pairs: 4×16-bit blocks, Hamming ≤ 3."""
     return hamming_blocked_pairs(hashes, "phash", PHASH_BLOCKS, 16, PHASH_HAM_MAX)
+
+
+def phash_keeper_stream(
+    docs: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming perceptual image dedup — the multimodal member of the
+    streaming dedup family (streaming/events.dedup_stream's dual-mode
+    contract): keep ONE representative document per pHash.
+
+    Streaming inputs must carry an event-time ``ts`` column; state is
+    bounded by ``dropDuplicatesWithinWatermark`` on the hash key, so a
+    100 TB/day image ingest dedups with watermark-window state, not
+    corpus-sized state. Batch inputs keep the FIRST row per hash in
+    (doc_id) order — the deterministic, oracle-checkable twin of the
+    stream's keep-first-arrival (parity when arrival follows doc_id,
+    which the stream test enforces). Output: (doc_id, phash).
+    """
+    streaming = docs.isStreaming
+    carry = ("ts",) if streaming else ()
+    hashed = bmp_phash(documents_to_bmp(docs, carry=carry), carry=carry)
+    if streaming:
+        return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["phash"]
+        ).select("doc_id", "phash")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("phash").orderBy("doc_id")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "phash")
+    )
 
 
 # --- registry queries ---------------------------------------------------------
@@ -257,12 +309,32 @@ PHASH_PAIRS_SQL = f"""
       AND bit_count(xor(x.phash, y.phash)) <= {PHASH_HAM_MAX}
 """
 
+def q_mm_phash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash_keeper_stream in batch mode (the streaming-dedup family's
+    batch-parity convention, streaming/queries.py): one keeper document
+    per perceptual hash, smallest doc_id wins."""
+    d = load_table(spark, "documents", sf_dir)
+    return phash_keeper_stream(d)
+
+
 QUERIES = {
     "mm_image_phash": q_mm_image_phash,
     "mm_image_phash_pairs": q_mm_image_phash_pairs,
+    "mm_phash_keepers": q_mm_phash_keepers,
 }
+
+PHASH_KEEPERS_SQL = f"""
+    WITH {{cte}}
+    SELECT doc_id, phash FROM (
+      SELECT doc_id, phash,
+             row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS rn
+      FROM ph)
+    WHERE rn = 1
+"""
+
 
 ORACLES = {
     "mm_image_phash": PHASH_SQL,
     "mm_image_phash_pairs": PHASH_PAIRS_SQL,
+    "mm_phash_keepers": PHASH_KEEPERS_SQL.format(cte=_phash_cte()),
 }
