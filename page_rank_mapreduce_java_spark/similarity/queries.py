@@ -201,8 +201,10 @@ def q_ann_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     static plan). Training is deterministic, so output — and the DuckDB
     oracle — is identical to ann_pq_topk's."""
     import hashlib
+    import inspect
     import os
 
+    from page_rank_mapreduce_java_spark.similarity import pq as pqmod
     from page_rank_mapreduce_java_spark.similarity.pq import (
         PQ_K,
         PQ_M,
@@ -210,8 +212,12 @@ def q_ann_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
+    # The cache tag covers the TRAINING/ENCODE SOURCE, not just params:
+    # an edited quantizer must rebuild the index, or a stale on-disk
+    # index would serve results the (retrained) oracle no longer matches.
+    code_v = hashlib.md5(inspect.getsource(pqmod).encode()).hexdigest()[:8]
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{PQ_DIM}|{PQ_M}|{PQ_K}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{PQ_DIM}|{PQ_M}|{PQ_K}|{code_v}".encode()
     ).hexdigest()[:12]
     base = f"/tmp/spark_graft_pq_index/{tag}"
     marker = os.path.join(base, "_BUILT")

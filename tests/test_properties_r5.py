@@ -95,6 +95,53 @@ def test_cms_structure_matches_python_twin(spark, rows):
     assert got == exp
 
 
+member_probe_sets = st.tuples(
+    st.sets(st.integers(1, 200), min_size=1, max_size=30),
+    st.sets(st.integers(1, 200), min_size=1, max_size=30),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sets_=member_probe_sets)
+def test_bloom_bits_match_python_twin_and_never_false_negative(spark, sets_):
+    """The Spark-built Bloom bit set must equal the Python twin exactly,
+    and every true member among the probes must hit."""
+    from pyspark.sql import functions as F
+
+    from page_rank_mapreduce_java_spark.functions.hashes import md5_long
+    from page_rank_mapreduce_java_spark.operators.relational11 import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+    )
+
+    members, probes = sets_
+    mdf = spark.createDataFrame([(k,) for k in members], "k LONG")
+    bits_df = mdf.select(
+        F.explode(
+            F.array(
+                *[
+                    (md5_long(F.concat_ws(":", F.lit(j), F.col("k"))) % BLOOM_BITS)
+                    for j in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
+    got_bits = {r.bit for r in bits_df.collect()}
+    exp_bits = {
+        int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15], 16) % BLOOM_BITS
+        for k in members
+        for j in range(BLOOM_HASHES)
+    }
+    assert got_bits == exp_bits
+    # no false negatives: every true member's bits are all present
+    for k in probes & members:
+        pk = {
+            int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15], 16) % BLOOM_BITS
+            for j in range(BLOOM_HASHES)
+        }
+        assert pk <= got_bits
+
+
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=edge_lists)
 def test_hash_walks_replay_in_python(spark, edges):
