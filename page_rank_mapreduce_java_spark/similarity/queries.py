@@ -237,6 +237,88 @@ def q_ann_pq_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_topk_micro(cb, codes, q)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-5, fully oracle-certified: the coarse quantizer
+    prunes WHICH vectors are scored (candidates shrink ~n_probe/
+    n_centroids), the PQ codes decide HOW — integer micro-unit ADC, the
+    q_ann_pq_topk convention, restricted to the (query, candidate) pair
+    set. This registers the similarity/pq.ivfpq_topk composition (until
+    now score-consistency-tested only) with a full DuckDB mirror:
+    coarse kmeans chain + cell assignment + probe ranking + the four
+    per-subspace codebook chains + cell-pruned integer ADC.
+
+    Scale shape: candidate generation is probes ⋈ cells on the centroid
+    key; scoring reads ONLY the codes of candidates (codes ⋈ broadcast
+    LUT + keyed sum); the probe ranking is a window over ≤ |queries|
+    × n_centroids bounded rows."""
+    from pyspark.sql.window import Window
+
+    from page_rank_mapreduce_java_spark.functions.vectors import cosine, sq_l2
+    from page_rank_mapreduce_java_spark.similarity.ann import ivf_assign
+    from page_rank_mapreduce_java_spark.similarity.pq import (
+        PQ_M,
+        pq_encode,
+        pq_train,
+        subvector,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = kmeans_train(e, k=IVF_CENTROIDS, iters=KMEANS_ITERS)
+    cells = ivf_assign(e, cent)
+    q = e.filter(F.col("vec_id") < PQ_QUERY_VECS)
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("embedding"), F.col("cvec"))), F.asc("centroid_id")
+    )
+    probes = (
+        q.select(F.col("vec_id").alias("query_id"), "embedding")
+        .join(F.broadcast(cent), F.lit(True))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(cells, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+
+    cb = pq_train(e, dim=PQ_DIM)
+    codes = pq_encode(e, cb, dim=PQ_DIM)
+    qs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        subvector("embedding", m, PQ_M, PQ_DIM).alias("qv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.qv").alias("qv"))
+    lut = qs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        F.col("centroid_id").alias("code"),
+        F.round(sq_l2(F.col("qv"), F.col("cvec")) * 1e6).cast("long").alias("dmicro"),
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_micro")
+    )
+
+
 def _pq_oracle_parts() -> tuple[str, str]:
     """(cte_body, codebook_cte): four namespaced kmeans chains over the
     16-dim slices + the union codebook + the per-vector slice relation."""
@@ -319,6 +401,61 @@ def _pq_topk_sql() -> str:
 """
 
 
+def _ivfpq_topk_sql() -> str:
+    from page_rank_mapreduce_java_spark.functions.vectors import sq_l2_sql
+
+    body, cb = _pq_oracle_parts()
+    return f"""
+    WITH {_KMEANS_CTES},
+    cent AS (SELECT centroid_id, cvec FROM {_KMEANS_FINAL}),
+    assign AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cosine_sql('e.embedding', 'c.cvec')} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cosine_sql('q.embedding', 'c.cvec')} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {PQ_QUERY_VECS}) WHERE rn <= {IVF_PROBES}),
+    cand AS MATERIALIZED (
+      SELECT p.query_id, a.neighbor_id
+      FROM probes p JOIN assign a USING (centroid_id)
+      WHERE p.query_id != a.neighbor_id),
+    {body},
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, centroid_id AS code FROM (
+        SELECT s.vec_id, s.m, c.centroid_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {sq_l2_sql('s.sv', 'c.cvec')} ASC,
+                          c.centroid_id ASC) AS rn
+        FROM slices s JOIN {cb} c ON s.m = c.m) WHERE rn = 1),
+    lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.m, c.centroid_id AS code,
+             CAST(ROUND({sq_l2_sql('q.sv', 'c.cvec')} * 1e6, 0) AS BIGINT)
+               AS dmicro
+      FROM slices q JOIN {cb} c ON q.m = c.m
+      WHERE q.vec_id < {PQ_QUERY_VECS}),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.dmicro) AS BIGINT) AS adc_micro
+      FROM cand cd
+      JOIN enc e ON e.vec_id = cd.neighbor_id
+      JOIN lut l ON l.query_id = cd.query_id
+                AND e.m = l.m AND e.code = l.code
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_micro, neighbor_id) AS rn FROM scored)
+    WHERE rn <= {PQ_TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_centroids": q_embedding_centroids,
@@ -329,6 +466,7 @@ QUERIES = {
     "ann_pq_codebook": q_ann_pq_codebook,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_serve_topk": q_ann_pq_serve_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 _KMEANS_CTES, _KMEANS_FINAL = kmeans_sql(k=IVF_CENTROIDS, iters=KMEANS_ITERS)
@@ -416,4 +554,5 @@ ORACLES = {
     # identical output to ann_pq_topk: training is deterministic, the
     # serving variant only changes WHERE the codebook/codes come from
     "ann_pq_serve_topk": _pq_topk_sql(),
+    "ann_ivfpq_topk": _ivfpq_topk_sql(),
 }
