@@ -358,23 +358,38 @@ def q_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    outdeg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("n"))
+    from page_rank_mapreduce_java_spark.plans.checkpoints import cut_lineage
+
+    # Superstep chassis: the idx-ranked adjacency and the node-sized
+    # out-degree relation are materialized ONCE; each step is then a
+    # node-sized join (to compute the hash choice) plus ONE (src, idx)
+    # equi-join that selects exactly the chosen edge row — the pagerank
+    # cost shape, with walk state never edge-sized and no per-step
+    # window re-derivation.
     w = Window.partitionBy("src").orderBy("dst")
-    ranked = und.withColumn("idx", F.row_number().over(w) - 1)
+    ranked = cut_lineage(und.withColumn("idx", F.row_number().over(w) - 1))
+    outdeg = cut_lineage(
+        und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("n"))
+    )
     state = outdeg.select(F.col("id").alias("walk_id"), F.col("id").alias("node"))
-    trace = state.select("walk_id", F.lit(0).cast("long").alias("step"), "node")
+    traces = [state.select("walk_id", F.lit(0).cast("long").alias("step"), "node")]
     for t in range(1, WALK_STEPS + 1):
         choice = md5_long(
             F.concat_ws(":", F.col("walk_id"), F.lit(t), F.col("node"))
         ) % F.col("n")
         st = state.join(outdeg, state.node == outdeg.id).withColumn("c", choice)
-        state = st.join(
-            ranked, (st.node == ranked.src) & (st.c == ranked.idx)
-        ).select("walk_id", F.col("dst").alias("node"))
-        trace = trace.unionByName(
+        state = cut_lineage(
+            st.join(ranked, (st.node == ranked.src) & (st.c == ranked.idx)).select(
+                "walk_id", F.col("dst").alias("node")
+            )
+        )
+        traces.append(
             state.select("walk_id", F.lit(t).cast("long").alias("step"), "node")
         )
-    return trace
+    out = traces[0]
+    for tr in traces[1:]:
+        out = out.unionByName(tr)
+    return out
 
 
 def _hash_walks_sql() -> str:
