@@ -61,6 +61,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "--show", type=int, default=20, help="rows to print when no --output"
     )
 
+    dd = sub.add_parser(
+        "dedup",
+        help="end-to-end corpus dedup: documents parquet in, keeper "
+        "assignments parquet out",
+    )
+    dd.add_argument("--input", required=True, help="documents parquet dir (doc_id, text)")
+    dd.add_argument("--output", required=True, help="parquet output dir")
+    dd.add_argument(
+        "--method",
+        choices=["exact", "minhash", "phash"],
+        default="minhash",
+        help="exact digest | MinHash-LSH near-dup clusters | perceptual image hash",
+    )
+
     sub.add_parser("list-queries", help="list all registered query names")
     return p
 
@@ -184,6 +198,37 @@ def main(argv: list[str] | None = None) -> int:
         edges = read_edge_csv(spark, args.input)
         write_state_text(reference_init_state(edges, args.k), args.output)
         print(f"init-state: k={args.k} -> {args.output}")
+    elif args.cmd == "dedup":
+        # The LLM-pipeline entry point: one command from a raw document
+        # corpus to keeper assignments, on the same certified operators
+        # the registry exposes (dedup/queries.py, multimodal/phash.py).
+        # The registered dedup functions read through the table catalog
+        # (load_table(sf_dir)), so expose the input as a documents table
+        # via a symlinked temp dir rather than forking their signatures.
+        import os
+        import tempfile
+
+        table_dir = tempfile.mkdtemp(prefix="dedup_cli_")
+        os.symlink(
+            os.path.abspath(args.input), os.path.join(table_dir, "documents.parquet")
+        )
+        if args.method == "exact":
+            from page_rank_mapreduce_java_spark.dedup.queries import q_dedup_exact
+
+            out = q_dedup_exact(spark, table_dir)
+        elif args.method == "minhash":
+            from page_rank_mapreduce_java_spark.dedup.queries import q_dedup_clusters
+
+            out = q_dedup_clusters(spark, table_dir)
+        else:
+            from page_rank_mapreduce_java_spark.multimodal.phash import (
+                phash_keeper_stream,
+            )
+
+            out = phash_keeper_stream(spark.read.parquet(args.input))
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"dedup[{args.method}]: {n} rows -> {args.output}")
     elif args.cmd == "query":
         registry = _registry()
         if args.name not in registry:

@@ -64,3 +64,22 @@ def test_chaingen_then_pagerank_text(spark, tmp_path):
     # k=3 chains: 9 chain nodes + sink 0
     assert len(lines) == 10
     assert all("," in ln for ln in lines)
+
+
+def test_dedup_cli_end_to_end(spark, tmp_path):
+    """`dedup` runs a raw documents parquet through each certified
+    method and writes keeper assignments."""
+    src = str(tmp_path / "docs")
+    rows = [(i, f"corpus document {i} payload") for i in range(6)]
+    rows += [(10, "same body"), (11, "same body")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    out_exact = str(tmp_path / "out_exact")
+    assert main(["dedup", "--input", src, "--method", "exact", "--output", out_exact]) == 0
+    back = {r.doc_id: (r.keeper, r.is_dup) for r in spark.read.parquet(out_exact).collect()}
+    assert back[11] == (10, 1) and back[10] == (10, 0)
+
+    out_ph = str(tmp_path / "out_phash")
+    assert main(["dedup", "--input", src, "--method", "phash", "--output", out_ph]) == 0
+    keepers = {r.doc_id for r in spark.read.parquet(out_ph).collect()}
+    assert 10 in keepers and 11 not in keepers
