@@ -134,8 +134,8 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # deferred here so the window stays spent on the recorded backlog.
 # Round 5: the dedup persist A/B edits transitively hash-staled the
 # whole dedup family (8 greens), putting demand over the 50 slots; the
-# five newest round-5 registrations wait one round so the stale-green
-# re-certifications keep their slots. All five pass the local
+# six newest round-5 registrations wait one round so the stale-green
+# re-certifications keep their slots. All six pass the local
 # value-hash replica at sf0.01 (tools/check_oracle.py, this session).
 _DEFER_TO_NEXT_ROUND = frozenset(
     {
@@ -144,6 +144,7 @@ _DEFER_TO_NEXT_ROUND = frozenset(
         "events_trigram_paths",
         "mm_phash_keepers",
         "ann_ivfpq_topk",
+        "mm_audio_keepers",
     }
 )
 

@@ -69,9 +69,14 @@ def _encode_wav_pcm16(samples: list[int], rate: int = AFP_RATE) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def documents_to_wav(docs: DataFrame) -> DataFrame:
+def documents_to_wav(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Encode each document's deterministic sample stream as a real WAV
-    payload. Arrow-batched; one output row per doc."""
+    payload. Arrow-batched; one output row per doc. ``carry`` columns
+    pass through unchanged (phash.documents_to_bmp convention)."""
+    cols = ["doc_id", "payload", *carry]
+    carry_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -87,18 +92,26 @@ def documents_to_wav(docs: DataFrame) -> DataFrame:
                         int(h[4 * t : 4 * t + 4], 16) - 32768
                         for t in range(AFP_PER_DIGEST)
                     )
-                out.append(
-                    {"doc_id": row["doc_id"], "payload": _encode_wav_pcm16(samples)}
-                )
-            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+                rec = {"doc_id": row["doc_id"], "payload": _encode_wav_pcm16(samples)}
+                for c in carry:
+                    rec[c] = row[c]
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
-    return docs.select("doc_id", "text").mapInPandas(run, "doc_id LONG, payload BINARY")
+    return docs.select("doc_id", "text", *carry).mapInPandas(
+        run, "doc_id LONG, payload BINARY" + carry_schema
+    )
 
 
-def wav_fingerprint(media: DataFrame) -> DataFrame:
+def wav_fingerprint(media: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Decode WAV payloads through media._wav_samples and compute the
-    windowed-energy fingerprint: DataFrame[doc_id LONG, afp LONG]."""
+    windowed-energy fingerprint: DataFrame[doc_id, afp, *carry]."""
     from page_rank_mapreduce_java_spark.multimodal.media import _wav_samples
+
+    cols = ["doc_id", "afp", *carry]
+    carry_schema = "".join(
+        f", {c} {media.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -112,10 +125,39 @@ def wav_fingerprint(media: DataFrame) -> DataFrame:
                 tot = int(en.sum())
                 bits = (n_win * en > tot).astype(np.int64)
                 afp = int((bits << np.arange(n_win)).sum())
-                out.append({"doc_id": row["doc_id"], "afp": afp})
-            yield pd.DataFrame(out, columns=["doc_id", "afp"])
+                rec = {"doc_id": row["doc_id"], "afp": afp}
+                for c in carry:
+                    rec[c] = row[c]
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
-    return media.mapInPandas(run, "doc_id LONG, afp LONG")
+    return media.mapInPandas(run, "doc_id LONG, afp LONG" + carry_schema)
+
+
+def audio_keeper_stream(
+    docs: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming acoustic dedup, the audio twin of
+    phash.phash_keeper_stream: one representative document per
+    fingerprint. Streaming inputs need an event-time ``ts`` and bound
+    state with dropDuplicatesWithinWatermark on the fingerprint; batch
+    inputs keep the smallest doc_id per fingerprint — the deterministic,
+    oracle-checkable twin. Output: (doc_id, afp)."""
+    streaming = docs.isStreaming
+    carry = ("ts",) if streaming else ()
+    fp = wav_fingerprint(documents_to_wav(docs, carry=carry), carry=carry)
+    if streaming:
+        return fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["afp"]
+        ).select("doc_id", "afp")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("afp").orderBy("doc_id")
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "afp")
+    )
 
 
 # --- registry queries ---------------------------------------------------------
@@ -182,12 +224,31 @@ AFP_PAIRS_SQL = f"""
       AND bit_count(xor(x.afp, y.afp)) <= {AFP_HAM_MAX}
 """
 
+def q_mm_audio_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """audio_keeper_stream in batch mode (the streaming-dedup family's
+    batch-parity convention): one keeper per acoustic fingerprint."""
+    d = load_table(spark, "documents", sf_dir)
+    return audio_keeper_stream(d)
+
+
 QUERIES = {
     "mm_audio_fingerprint": q_mm_audio_fingerprint,
     "mm_audio_fp_pairs": q_mm_audio_fp_pairs,
+    "mm_audio_keepers": q_mm_audio_keepers,
 }
+
+AFP_KEEPERS_SQL = f"""
+    WITH {_afp_cte()}
+    SELECT doc_id, afp FROM (
+      SELECT doc_id, afp,
+             row_number() OVER (PARTITION BY afp ORDER BY doc_id) AS rn
+      FROM fp)
+    WHERE rn = 1
+"""
+
 
 ORACLES = {
     "mm_audio_fingerprint": AFP_SQL,
     "mm_audio_fp_pairs": AFP_PAIRS_SQL,
+    "mm_audio_keepers": AFP_KEEPERS_SQL,
 }

@@ -47,3 +47,35 @@ def test_audio_pairs_collision_recall(spark):
     pairs = hamming_blocked_pairs(fp, "afp", 4, 8, 3).collect()
     found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
     assert found[(200, 201)] == 0
+
+
+def test_audio_keeper_stream_matches_batch(spark, tmp_path):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from page_rank_mapreduce_java_spark.multimodal.audiofp import audio_keeper_stream
+    from page_rank_mapreduce_java_spark.streaming.events import run_stream_to_memory
+
+    rows = [(i, f"audio stream doc {i}", f"2024-03-02 09:{i:02d}:00") for i in range(6)]
+    rows += [(50, "audio stream doc 1", "2024-03-02 10:00:00")]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, ts_s string"
+    ).select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+    src = tempfile.mkdtemp(prefix="audio_stream_")
+    for lo, hi in ((0, 4), (4, 51)):
+        batch.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = audio_keeper_stream(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        watermark="1 day",
+    )
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "audio_keepers_out")
+    got = {(r.doc_id, r.afp) for r in spark.sql("SELECT * FROM audio_keepers_out").collect()}
+    exp = {(r.doc_id, r.afp) for r in audio_keeper_stream(batch).collect()}
+    assert got == exp
+    assert len(got) == 6 and all(d < 50 for d, _ in got)
