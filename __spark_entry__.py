@@ -134,8 +134,9 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # deferred here so the window stays spent on the recorded backlog.
 # Round 5: the dedup persist A/B edits transitively hash-staled the
 # whole dedup family (8 greens), putting demand over the 50 slots; the
-# six newest round-5 registrations wait one round so the stale-green
-# re-certifications keep their slots. All six pass the local
+# latest round-5 registrations wait one round so the stale-green
+# re-certifications (dedup family + the agg_median chassis rescale)
+# keep their slots. All deferred entries pass the local
 # value-hash replica at sf0.01 (tools/check_oracle.py, this session).
 _DEFER_TO_NEXT_ROUND = frozenset(
     {
@@ -145,6 +146,7 @@ _DEFER_TO_NEXT_ROUND = frozenset(
         "mm_phash_keepers",
         "ann_ivfpq_topk",
         "mm_audio_keepers",
+        "lineitem_daily_vwap",
     }
 )
 

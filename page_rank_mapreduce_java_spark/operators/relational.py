@@ -140,10 +140,38 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, "events", sf_dir)
-    return e.groupBy("event_type").agg(
-        F.round(F.median("value"), 6).alias("median_value"),
-        F.count(F.lit(1)).alias("n"),
+    """Exact per-type median of event value on the scalable grouped-
+    quantile chassis: ONE global two-pass row number over (type, value,
+    event_id), per-type offsets/counts broadcast, and the median read
+    from the 1–2 central POSITIONS per group (averaged when even —
+    DuckDB's interpolation convention).
+
+    Not ``F.median`` per group: with a low-cardinality group key that
+    aggregate buffers n/|groups| values per aggregation buffer — the
+    same memory scale-killer the r4 verdict flagged on PSI's global
+    exact percentile, at the keyed grain."""
+    from page_rank_mapreduce_java_spark.operators.ranking import global_row_number
+
+    e = load_table(spark, "events", sf_dir).select("event_type", "value", "event_id")
+    r = global_row_number(
+        e, [F.asc("event_type"), F.asc("value"), F.asc("event_id")], out_col="_grn"
+    )
+    stats = r.groupBy("event_type").agg(
+        (F.min("_grn") - 1).alias("_off"), F.count(F.lit(1)).alias("_tot")
+    )
+    pos = r.join(F.broadcast(stats), "event_type").withColumn(
+        "_pos", F.col("_grn") - F.col("_off")
+    )
+    # Central positions: floor((tot+1)/2) and floor(tot/2)+1 — the same
+    # row when tot is odd, the two middle rows when even. Pure integer
+    # comparisons (div), no float equality.
+    central = pos.filter(
+        (F.col("_pos") == F.expr("(_tot + 1) div 2"))
+        | (F.col("_pos") == F.expr("_tot div 2 + 1"))
+    )
+    return central.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("median_value"),
+        F.max("_tot").alias("n"),
     )
 
 
