@@ -147,6 +147,8 @@ _DEFER_TO_NEXT_ROUND = frozenset(
         "ann_ivfpq_topk",
         "mm_audio_keepers",
         "lineitem_daily_vwap",
+        "graph_closeness_sampled",
+        "agg_p90_by_type",
     }
 )
 

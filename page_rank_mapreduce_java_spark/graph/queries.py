@@ -1314,6 +1314,37 @@ FROM nodes n LEFT JOIN h ON n.id = h.id"""
     )
 
 
+def q_graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded closeness per sampled source (reached pairs only):
+    integer (n_reached, sum_levels) plus closeness in milli =
+    1000·n_reached div sum_levels — Bavelas closeness restricted to the
+    certified BFS ball, the within-reach companion of harmonic
+    centrality (which owns the disconnected case). Reuses the shared
+    labeled-BFS levels; one ≤|sources|-row aggregate."""
+    lv = _corpus_levels(spark, sf_dir).filter(F.col("level") >= 1)
+    agg = lv.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum("level").alias("sum_levels"),
+    )
+    return agg.select(
+        "s",
+        "n_reached",
+        F.col("sum_levels").cast("long").alias("sum_levels"),
+        F.expr("(n_reached * 1000) div sum_levels").alias("closeness_milli"),
+    )
+
+
+def _closeness_oracle_sql(depth: int = BFS_HOPS) -> str:
+    return (
+        _levels_base_sql(depth)
+        + """
+SELECT s, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(level) AS BIGINT) AS sum_levels,
+       CAST((COUNT(*) * 1000) // SUM(level) AS BIGINT) AS closeness_milli
+FROM lv GROUP BY 1"""
+    )
+
+
 def _eccentricity_oracle_sql(depth: int = BFS_HOPS) -> str:
     return (
         _levels_base_sql(depth)
@@ -1338,7 +1369,9 @@ FROM lv"""
 
 QUERIES["graph_harmonic_centrality"] = q_harmonic_centrality
 QUERIES["graph_eccentricity"] = q_graph_eccentricity
+QUERIES["graph_closeness_sampled"] = q_graph_closeness_sampled
 QUERIES["graph_avg_path_length"] = q_graph_avg_path_length
 ORACLES["graph_harmonic_centrality"] = _harmonic_oracle_sql()
 ORACLES["graph_eccentricity"] = _eccentricity_oracle_sql()
+ORACLES["graph_closeness_sampled"] = _closeness_oracle_sql()
 ORACLES["graph_avg_path_length"] = _avg_path_oracle_sql()

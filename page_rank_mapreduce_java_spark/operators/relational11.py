@@ -411,7 +411,51 @@ IVM_SQL = f"""
 """
 
 
+def q_agg_p90_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p90 of event value per type on the scalable
+    grouped-quantile chassis (the agg_median pattern): one global
+    two-pass row number over (type, value, event_id), broadcast
+    per-type offsets/counts, and the p90 read from position
+    ceil(0.9·n) — never a per-group buffering percentile aggregate
+    (low-cardinality groups make those buffers fact-scale), never a
+    low-cardinality window partition."""
+    from page_rank_mapreduce_java_spark.operators.ranking import global_row_number
+
+    e = load_table(spark, "events", sf_dir).select("event_type", "value", "event_id")
+    r = global_row_number(
+        e, [F.asc("event_type"), F.asc("value"), F.asc("event_id")], out_col="_grn"
+    )
+    stats = r.groupBy("event_type").agg(
+        (F.min("_grn") - 1).alias("_off"), F.count(F.lit(1)).alias("_tot")
+    )
+    pos = r.join(F.broadcast(stats), "event_type").withColumn(
+        "_pos", F.col("_grn") - F.col("_off")
+    )
+    # nearest-rank p90: position ceil(0.9*n) = (9n + 9) div 10
+    hit = pos.filter(F.col("_pos") == F.expr("(9 * _tot + 9) div 10"))
+    return hit.select(
+        "event_type",
+        F.col("_tot").alias("n"),
+        F.round(F.col("value"), 6).alias("p90_value"),
+    )
+
+
+P90_BY_TYPE_SQL = """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (ORDER BY event_type, value, event_id) AS grn
+      FROM events),
+    stats AS (SELECT event_type, MIN(grn) - 1 AS off, COUNT(*) AS tot
+              FROM r GROUP BY 1)
+    SELECT r.event_type, CAST(s.tot AS BIGINT) AS n,
+           ROUND(r.value, 6) AS p90_value
+    FROM r JOIN stats s ON r.event_type = s.event_type
+    WHERE r.grn - s.off = (9 * s.tot + 9) // 10
+"""
+
+
 QUERIES = {
+    "agg_p90_by_type": q_agg_p90_by_type,
     "sketch_cms_part_counts": q_sketch_cms_part_counts,
     "sketch_bloom_semijoin": q_sketch_bloom_semijoin,
     "events_user_streaks": q_events_user_streaks,
@@ -421,6 +465,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_p90_by_type": P90_BY_TYPE_SQL,
     "sketch_cms_part_counts": CMS_SQL,
     "sketch_bloom_semijoin": BLOOM_SQL,
     "events_user_streaks": STREAKS_SQL,
