@@ -137,7 +137,8 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # latest round-5 registrations wait one round so the stale-green
 # re-certifications (dedup family + the agg_median chassis rescale)
 # keep their slots. All deferred entries pass the local
-# value-hash replica at sf0.01 (tools/check_oracle.py, this session).
+# value-hash replica at BOTH sf0.001 and sf0.01 (tools/check_oracle.py,
+# this session, 0 failures).
 _DEFER_TO_NEXT_ROUND = frozenset(
     {
         "graph_square_count",

@@ -60,6 +60,11 @@ QUERIES_UNDER_TEST = [
     # sum — partition-invariant by construction, but the rounding rides
     # IEEE ln, so keep it under layout surveillance like the corr family
     "text_unigram_nll",
+    # chassis-based keyed quantiles: positions are layout-invariant by
+    # the global_row_number contract; median's final ROUND(avg, 6) of
+    # two doubles rides IEEE — surveil like the corr family
+    "agg_median",
+    "agg_p90_by_type",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
