@@ -132,26 +132,12 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 
 # Queries registered too late for the current round's audit window are
 # deferred here so the window stays spent on the recorded backlog.
-# Round 5: the dedup persist A/B edits transitively hash-staled the
-# whole dedup family (8 greens), putting demand over the 50 slots; the
-# latest round-5 registrations wait one round so the stale-green
-# re-certifications (dedup family + the agg_median chassis rescale)
-# keep their slots. All deferred entries pass the local
-# value-hash replica at BOTH sf0.001 and sf0.01 (tools/check_oracle.py,
-# this session, 0 failures).
-_DEFER_TO_NEXT_ROUND = frozenset(
-    {
-        "graph_square_count",
-        "text_unigram_nll",
-        "events_trigram_paths",
-        "mm_phash_keepers",
-        "ann_ivfpq_topk",
-        "mm_audio_keepers",
-        "lineitem_daily_vwap",
-        "graph_closeness_sampled",
-        "agg_p90_by_type",
-    }
-)
+# Round 6: EMPTY (VERDICT r5 next #1) — the nine round-5 deferrals
+# (square count, unigram NLL, trigram paths, phash/audio keepers,
+# IVF-PQ, vwap, sampled closeness, grouped p90) are "never" in the
+# ledger, so they lead the window as audit group 0 and earn their
+# driver greens this round.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 
 def _audit_order(q: dict, o: dict) -> list[str]:

@@ -208,25 +208,31 @@ def main(argv: list[str] | None = None) -> int:
         import os
         import tempfile
 
-        table_dir = tempfile.mkdtemp(prefix="dedup_cli_")
-        os.symlink(
-            os.path.abspath(args.input), os.path.join(table_dir, "documents.parquet")
-        )
-        if args.method == "exact":
-            from page_rank_mapreduce_java_spark.dedup.queries import q_dedup_exact
-
-            out = q_dedup_exact(spark, table_dir)
-        elif args.method == "minhash":
-            from page_rank_mapreduce_java_spark.dedup.queries import q_dedup_clusters
-
-            out = q_dedup_clusters(spark, table_dir)
-        else:
-            from page_rank_mapreduce_java_spark.multimodal.phash import (
-                phash_keeper_stream,
+        # TemporaryDirectory so the symlink dir is removed once the
+        # write completes (ADVICE r5: mkdtemp leaked one dir — with a
+        # dangling-symlink risk — per invocation).
+        with tempfile.TemporaryDirectory(prefix="dedup_cli_") as table_dir:
+            os.symlink(
+                os.path.abspath(args.input),
+                os.path.join(table_dir, "documents.parquet"),
             )
+            if args.method == "exact":
+                from page_rank_mapreduce_java_spark.dedup.queries import q_dedup_exact
 
-            out = phash_keeper_stream(spark.read.parquet(args.input))
-        out.write.mode("overwrite").parquet(args.output)
+                out = q_dedup_exact(spark, table_dir)
+            elif args.method == "minhash":
+                from page_rank_mapreduce_java_spark.dedup.queries import (
+                    q_dedup_clusters,
+                )
+
+                out = q_dedup_clusters(spark, table_dir)
+            else:
+                from page_rank_mapreduce_java_spark.multimodal.phash import (
+                    phash_keeper_stream,
+                )
+
+                out = phash_keeper_stream(spark.read.parquet(args.input))
+            out.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(f"dedup[{args.method}]: {n} rows -> {args.output}")
     elif args.cmd == "query":

@@ -996,27 +996,64 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("id").alias("src"), F.col("d").alias("du"))
     dv = deg.select(F.col("id").alias("dst"), F.col("d").alias("dv"))
-    return (
+    # Exact integer sufficient statistics (VERDICT r5 next #4 — the
+    # relational9 OLS convention): degrees are integers, so n, Σx, Σy,
+    # Σxy, Σx², Σy² ride DECIMAL(38,0)/HUGEINT order-independently and
+    # bit-identically on both engines; the only floating arithmetic is
+    # the IDENTICAL terminal expression a/√(b·c) over those exact
+    # integers (casts, *, /, √ are all IEEE correctly-rounded — unlike
+    # the previous covar_pop/stddev_pop accumulation, which could land
+    # a ppm boundary a half-ulp apart between engines).
+    xd = F.col("du").cast("decimal(38,0)")
+    yd = F.col("dv").cast("decimal(38,0)")
+    agg = (
         sym.join(du, "src")
         .join(dv, "dst")
         .agg(
-            # corr is undefined when one side has zero degree variance
-            # (a regular graph — the sf0.001 fixture): Spark's ANSI-mode
-            # corr raises DIVIDE_BY_ZERO there, so the ratio is formed
-            # explicitly with try_divide; sentinel −2·10⁶ is outside
-            # corr's ppm range and NULL-free on both engines
-            # (canonicalization policy, tools/canon_audit.py).
-            F.coalesce(
-                F.round(
-                    F.try_divide(
-                        F.covar_pop("du", "dv"),
-                        F.stddev_pop("du") * F.stddev_pop("dv"),
-                    )
-                    * 1e6
-                ).cast("long"),
-                F.lit(-2_000_000),
-            ).alias("assortativity_ppm")
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(xd).alias("_sx"),
+            F.sum(yd).alias("_sy"),
+            F.sum(xd * xd).alias("_sxx"),
+            F.sum(xd * yd).alias("_sxy"),
+            F.sum(yd * yd).alias("_syy"),
         )
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    a = n * F.col("_sxy").cast("double") - sx * sy
+    b = n * F.col("_sxx").cast("double") - sx * sx
+    c = n * F.col("_syy").cast("double") - sy * sy
+    return agg.select(
+        # zero degree variance (a regular graph — the sf0.001 fixture)
+        # leaves corr undefined: b·c is then EXACTLY 0 (integer math),
+        # try_divide yields NULL, and the sentinel −2·10⁶ (outside
+        # corr's ppm range) keeps the row NULL-free on both engines
+        # (canonicalization policy, tools/canon_audit.py).
+        F.coalesce(
+            F.round(F.try_divide(a, F.sqrt(b * c)) * 1e6).cast("long"),
+            F.lit(-2_000_000),
+        ).alias("assortativity_ppm")
+    )
+
+
+def corr_ppm_sql(x: str, y: str, alias: str, sentinel: int = -2_000_000) -> str:
+    """DuckDB rendering of the exact-sufficient-statistic Pearson ppm:
+    must be placed over a relation exposing integer columns ``x``/``y``;
+    aggregates HUGEINT sums and applies the same terminal double
+    expression as the Spark side. NULLIF guards the zero-variance case
+    (DuckDB IEEE float division would give ±inf/NaN, not NULL)."""
+    sx, sy = f"CAST(SUM(CAST({x} AS HUGEINT)) AS DOUBLE)", f"CAST(SUM(CAST({y} AS HUGEINT)) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST({x} AS HUGEINT) * CAST({x} AS HUGEINT)) AS DOUBLE)"
+    sxy = f"CAST(SUM(CAST({x} AS HUGEINT) * CAST({y} AS HUGEINT)) AS DOUBLE)"
+    syy = f"CAST(SUM(CAST({y} AS HUGEINT) * CAST({y} AS HUGEINT)) AS DOUBLE)"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    a = f"({n} * {sxy} - {sx} * {sy})"
+    b = f"({n} * {sxx} - {sx} * {sx})"
+    c = f"({n} * {syy} - {sy} * {sy})"
+    return (
+        f"COALESCE(CAST(ROUND({a} / sqrt(NULLIF({b} * {c}, 0)) * 1e6, 0) "
+        f"AS BIGINT), {sentinel}) AS {alias}"
     )
 
 
@@ -1024,8 +1061,7 @@ ASSORTATIVITY_SQL = f"""
     WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
     sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
     deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1)
-    SELECT COALESCE(CAST(ROUND(corr(du.d, dv.d) * 1e6, 0) AS BIGINT),
-                    -2000000) AS assortativity_ppm
+    SELECT {corr_ppm_sql('du.d', 'dv.d', 'assortativity_ppm')}
     FROM sym JOIN deg du ON sym.src = du.id JOIN deg dv ON sym.dst = dv.id
 """
 

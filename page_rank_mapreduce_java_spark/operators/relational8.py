@@ -334,27 +334,56 @@ def q_corr_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric measures, as (x, y, corr_ppm) rows — the feature-redundancy
     screen before training.
 
+    Exactness (VERDICT r5 next #4): each measure is snapped to its
+    exact integer grain first (quantity is integral; price/discount/tax
+    to cents), the 6×5 sufficient statistics ride DECIMAL(38,0)/HUGEINT
+    (Σprice² ≈ 10²⁰ overflows BIGINT at sf1), and only the terminal
+    a/√(b·c) is floating — the identical correctly-rounded expression
+    on both engines, so no half-ulp ppm-boundary flips (the hazard the
+    old F.corr accumulation carried).
+
     Scale shape: ALL six correlations come from ONE full-table
-    aggregate (Spark fuses the six F.corr co-moment accumulators into a
-    single partial-agg pass — no per-pair scans); the stack() unpivot
-    to rows touches a 1-row relation.
+    aggregate (one partial-agg pass over 31 integer accumulators — no
+    per-pair scans); the stack() unpivot touches a 1-row relation.
     """
-    li = load_table(spark, "lineitem", sf_dir)
-    pairs = [
-        (x, y) for i, x in enumerate(CORR_COLS) for y in CORR_COLS[i + 1 :]
-    ]
-    agg = li.agg(
-        *[
-            F.round(F.corr(x, y) * 1e6).cast("long").alias(f"_c{i}")
-            for i, (x, y) in enumerate(pairs)
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        _cents("l_extendedprice").alias("l_extendedprice"),
+        _cents("l_discount").alias("l_discount"),
+        _cents("l_tax").alias("l_tax"),
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (x, y) in enumerate(_CORR_PAIRS):
+        xd = F.col(x).cast("decimal(38,0)")
+        yd = F.col(y).cast("decimal(38,0)")
+        aggs += [
+            F.sum(xd).alias(f"_sx{i}"),
+            F.sum(yd).alias(f"_sy{i}"),
+            F.sum(xd * xd).alias(f"_sxx{i}"),
+            F.sum(xd * yd).alias(f"_sxy{i}"),
+            F.sum(yd * yd).alias(f"_syy{i}"),
         ]
-    )
+    agg = li.agg(*aggs)
+    n = F.col("_n").cast("double")
+    corrs = []
+    for i in range(len(_CORR_PAIRS)):
+        sx = F.col(f"_sx{i}").cast("double")
+        sy = F.col(f"_sy{i}").cast("double")
+        a = n * F.col(f"_sxy{i}").cast("double") - sx * sy
+        b = n * F.col(f"_sxx{i}").cast("double") - sx * sx
+        c = n * F.col(f"_syy{i}").cast("double") - sy * sy
+        corrs.append(
+            F.coalesce(
+                F.round(F.try_divide(a, F.sqrt(b * c)) * 1e6).cast("long"),
+                F.lit(-2_000_000),
+            ).alias(f"_c{i}")
+        )
     stack_expr = ", ".join(
-        f"'{x}', '{y}', _c{i}" for i, (x, y) in enumerate(pairs)
+        f"'{x}', '{y}', _c{i}" for i, (x, y) in enumerate(_CORR_PAIRS)
     )
-    return agg.select(
+    return agg.select(*corrs).select(
         F.expr(
-            f"stack({len(pairs)}, {stack_expr}) AS (x, y, corr_ppm)"
+            f"stack({len(_CORR_PAIRS)}, {stack_expr}) AS (x, y, corr_ppm)"
         )
     )
 
@@ -362,12 +391,33 @@ def q_corr_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORR_PAIRS = [
     (x, y) for i, x in enumerate(CORR_COLS) for y in CORR_COLS[i + 1 :]
 ]
-CORR_PAIRS_SQL = "\nUNION ALL\n".join(
-    f"""SELECT '{x}' AS x, '{y}' AS y,
-        CAST(ROUND(corr({x}, {y}) * 1e6, 0) AS BIGINT) AS corr_ppm
-        FROM lineitem"""
-    for x, y in _CORR_PAIRS
-)
+
+
+def _corr_pairs_sql() -> str:
+    from page_rank_mapreduce_java_spark.graph.queries import corr_ppm_sql
+
+    ints = {
+        "l_quantity": "CAST(l_quantity AS BIGINT)",
+        "l_extendedprice": cents_sql("l_extendedprice"),
+        "l_discount": cents_sql("l_discount"),
+        "l_tax": cents_sql("l_tax"),
+    }
+    proj = ", ".join(f"{expr} AS {name}" for name, expr in ints.items())
+    measures = ", ".join(
+        corr_ppm_sql(x, y, f"c{i}") for i, (x, y) in enumerate(_CORR_PAIRS)
+    )
+    unpivot = "\nUNION ALL\n".join(
+        f"SELECT '{x}' AS x, '{y}' AS y, c{i} AS corr_ppm FROM agg"
+        for i, (x, y) in enumerate(_CORR_PAIRS)
+    )
+    return f"""
+    WITH ints AS (SELECT {proj} FROM lineitem),
+    agg AS (SELECT {measures} FROM ints)
+    {unpivot}
+"""
+
+
+CORR_PAIRS_SQL = _corr_pairs_sql()
 
 
 # --- Pareto skyline ----------------------------------------------------------
@@ -999,19 +1049,42 @@ def q_events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").alias("c_prev"))
     )
     pairs = daily.join(shifted, "day")
-    corr = F.try_divide(
-        F.covar_pop("c", "c_prev"),
-        F.stddev_pop("c") * F.stddev_pop("c_prev"),
+    # Exact integer sufficient statistics per lag (VERDICT r5 next #4,
+    # the relational9-OLS convention — replaces the float covar/stddev
+    # accumulation whose half-ulp could flip a ppm boundary between
+    # engines): daily counts are integers, so the sums are exact and
+    # order-independent; only the terminal a/√(b·c) is floating, and it
+    # is the IDENTICAL correctly-rounded expression on both engines.
+    xd = F.col("c").cast("decimal(38,0)")
+    yd = F.col("c_prev").cast("decimal(38,0)")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(yd * yd).alias("_syy"),
     )
-    return pairs.groupBy("lag").agg(
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    a = n * F.col("_sxy").cast("double") - sx * sy
+    b = n * F.col("_sxx").cast("double") - sx * sx
+    c = n * F.col("_syy").cast("double") - sy * sy
+    return agg.select(
+        "lag",
         F.coalesce(
-            F.round(corr * 1e6).cast("long"), F.lit(-2_000_000)
+            F.round(F.try_divide(a, F.sqrt(b * c)) * 1e6).cast("long"),
+            F.lit(-2_000_000),
         ).alias("acf_ppm"),
-        F.count(F.lit(1)).alias("n_pairs"),
+        F.col("_n").alias("n_pairs"),
     )
 
 
-ACF_SQL = f"""
+def _acf_sql() -> str:
+    from page_rank_mapreduce_java_spark.graph.queries import corr_ppm_sql
+
+    return f"""
     WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
                    FROM events GROUP BY 1),
     lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
@@ -1021,12 +1094,13 @@ ACF_SQL = f"""
       JOIN daily d2 ON d2.day = d1.day + CAST(l.lag AS INTEGER)
     )
     SELECT CAST(lag AS INTEGER) AS lag,
-           COALESCE(CAST(ROUND(covar_pop(c, c_prev)
-                     / (stddev_pop(c) * stddev_pop(c_prev)) * 1e6, 0)
-                    AS BIGINT), -2000000) AS acf_ppm,
+           {corr_ppm_sql('c', 'c_prev', 'acf_ppm')},
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM pairs GROUP BY 1
 """
+
+
+ACF_SQL = _acf_sql()
 
 
 QUERIES = {
