@@ -92,7 +92,31 @@ HEADLINE = [
     "rec_item_item_topk",
     "mm_image_phash_pairs",
     "mm_audio_fp_pairs",
+    # round 6 additions (VERDICT r5 next #6: the round-5 registrations
+    # the 53-query headline omitted, + the new IVF-PQ serving plan)
+    "graph_square_count",
+    "text_unigram_nll",
+    "events_trigram_paths",
+    "lineitem_daily_vwap",
+    "graph_closeness_sampled",
+    "agg_p90_by_type",
+    "ann_ivfpq_serve_topk",
 ]
+
+# Queries whose first run triggers a one-time on-disk index build under
+# /tmp (similarity/queries._serve_index_dir). The build is forced once,
+# untimed, before the timed rounds — otherwise the first sample's median
+# (and the vs_prev gate) depends on ambient /tmp state, not code
+# (ADVICE r5).
+INDEX_BUILD_WARMUP = ["ann_pq_serve_topk", "ann_ivfpq_serve_topk"]
+
+# Per-group calibration (VERDICT r5 next #7): one bracketing probe per
+# round cannot see mid-suite load bursts, so flags on queries that ran
+# during a burst were unadjudicable (the r5 mm_audio ambiguity). The
+# suite is chunked into groups of GROUP_SIZE consecutive queries; each
+# round runs a ~0.3 s probe immediately BEFORE each group, and vs_prev
+# adjusts each query's regression threshold by ITS group's load ratio.
+GROUP_SIZE = 8
 
 
 def _calibration_probe(spark) -> float:
@@ -111,6 +135,10 @@ def _calibration_probe(spark) -> float:
         "bit_xor(xxhash64(id)) AS s"
     ).write.format("noop").mode("overwrite").save()
     return round(_t.time() - t0, 3)
+
+
+def _groups() -> list[list[str]]:
+    return [HEADLINE[i : i + GROUP_SIZE] for i in range(0, len(HEADLINE), GROUP_SIZE)]
 
 
 def main() -> None:
@@ -140,6 +168,14 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - warmup must not kill the bench
             print(f"bench: warmup failed for {name}: {e}", file=sys.stderr)
 
+    # Force the one-time on-disk index builds OUTSIDE the timed rounds
+    # (ADVICE r5): run the serve queries once at the TARGET sf_dir.
+    for name in INDEX_BUILD_WARMUP:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 - warmup must not kill the bench
+            print(f"bench: index warmup failed for {name}: {e}", file=sys.stderr)
+
     # Query functions persist() intra-query intermediates (LSH signatures,
     # self-join inputs); those caches are only useful within one
     # materialization, so release them between queries — otherwise the
@@ -148,19 +184,21 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    calib_samples: list[float] = []
+    groups = _groups()
+    group_samples: list[list[float]] = [[] for _ in groups]
     for _ in range(runs):
-        calib_samples.append(_calibration_probe(spark))
         # Drop the memoized PageRank rank vector: a repeat run must
         # re-execute the superstep loop, not time a dict lookup.
         from page_rank_mapreduce_java_spark.graph.queries import _RANKS_CACHE
 
         _RANKS_CACHE.clear()
-        for name in HEADLINE:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples[name].append(round(time.time() - t0, 3))
-            spark.catalog.clearCache()
+        for gi, group in enumerate(groups):
+            group_samples[gi].append(_calibration_probe(spark))
+            for name in group:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples[name].append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -170,7 +208,15 @@ def main() -> None:
     timings = {name: median(ts) for name, ts in samples.items()}
     spread = {name: [min(ts), max(ts)] for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
-    calib_sec = median(calib_samples)
+    all_probes = [s for g in group_samples for s in g]
+    calib_sec = median(all_probes)
+    # query -> its group's median probe time (the load estimate local to
+    # the moment the query actually ran)
+    group_calib = {
+        name: median(group_samples[gi])
+        for gi, group in enumerate(groups)
+        for name in group
+    }
 
     # The reference's own production workload (Makefile aws.k=1000,
     # aws.iterations=10 — provisioned as 1 master + 5 core m6a.xlarge on
@@ -198,7 +244,8 @@ def main() -> None:
         "runs": runs,
         "spread": spread,
         "calib_sec": calib_sec,
-        "calib_runs": calib_samples,
+        "calib_runs": all_probes,
+        "group_calib": group_calib,
     }
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec
@@ -216,7 +263,7 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     hist_path = os.path.join(here, "bench_history.jsonl")
-    prev_q, prev_label, prev_calib = {}, None, None
+    prev_q, prev_label, prev_calib, prev_gc = {}, None, None, {}
     try:
         with open(hist_path) as f:
             for line in f:
@@ -224,6 +271,7 @@ def main() -> None:
                 if rec.get("sf") == sf and rec.get("queries"):
                     prev_q, prev_label = rec["queries"], "bench_history.jsonl"
                     prev_calib = rec.get("calib_sec")
+                    prev_gc = rec.get("group_calib") or {}
     except (OSError, json.JSONDecodeError):
         pass
     if not prev_q:
@@ -238,6 +286,7 @@ def main() -> None:
             if parsed.get("sf") == sf and parsed.get("queries"):
                 prev_q, prev_label = parsed["queries"], os.path.basename(p)
                 prev_calib = parsed.get("calib_sec")
+                prev_gc = parsed.get("group_calib") or {}
     if prev_q:
         prev_path = prev_label
         shared = [n for n in timings if n in prev_q and prev_q[n] > 0]
@@ -251,12 +300,27 @@ def main() -> None:
                 round(calib_sec / prev_calib, 3) if prev_calib else None
             )
             load = max(1.0, calib_ratio or 1.0)
+
+            def load_for(n: str) -> float:
+                # Per-group load when BOTH runs carry group probes for
+                # this query (VERDICT r5 next #7): the probe that ran in
+                # the same minute as the query adjudicates its flag —
+                # a mid-suite burst auto-clears, a real regression under
+                # a calm group stays flagged. Clamped at 1 like the
+                # global ratio (a faster host never masks a regression).
+                if prev_gc.get(n) and group_calib.get(n):
+                    return max(1.0, group_calib[n] / prev_gc[n])
+                return load
+
             regressions = {
                 n: {"prev": prev_q[n], "now": timings[n],
                     "ratio": round(timings[n] / prev_q[n], 2),
-                    "ratio_calib_adj": round(timings[n] / (prev_q[n] * load), 2)}
+                    "ratio_calib_adj": round(
+                        timings[n] / (prev_q[n] * load_for(n)), 2
+                    ),
+                    "group_load": round(load_for(n), 3)}
                 for n in shared
-                if timings[n] > prev_q[n] * 1.25 * load
+                if timings[n] > prev_q[n] * 1.25 * load_for(n)
             }
             out["vs_prev"] = {
                 "file": prev_path,

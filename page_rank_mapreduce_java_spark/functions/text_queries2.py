@@ -242,16 +242,55 @@ NGRAM_NOVELTY_SQL = f"""
 """
 
 
+# Deterministic ln for the NLL score (ADVICE r5: JVM Math.log and DuckDB
+# libm ln may differ in the last ulp — IEEE does not require ln to be
+# correctly rounded — so a token landing within an ulp of a .5 micro-nat
+# boundary could flip the integer sum between engines). The fix is the
+# DCT-basis strategy: ONE shared formula built only from operations that
+# ARE correctly rounded (+, −, ×, ÷) plus exact integer bit arithmetic,
+# rendered into both engines so every intermediate double is
+# bit-identical. For integer n ≥ 1:
+#   k = ⌊log₂ n⌋           (bin-string length − 1: exact integer math)
+#   m = n / 2^k ∈ [1, 2)   (2^k exact; division by a power of 2 exact)
+#   ln n = k·ln2 + 2·artanh(t),  t = (m−1)/(m+1) ∈ [0, 1/3)
+# with artanh as its odd series to t¹⁷ (|t|<1/3 ⇒ truncation < 1e-8
+# nat — two orders below the micro-nat grain). Coefficient literals are
+# Python float reprs, so both parsers recover the identical doubles.
+_LN2 = repr(0.6931471805599453)  # round-trip repr of double nearest ln 2
+_SERIES = [repr(2.0 / (2 * j + 1)) for j in range(9)]  # 2, 2/3, ..., 2/17
+
+
+def ln_int_sql(n: str, engine: str) -> str:
+    """Render the deterministic ln(n) expression for integer column/expr
+    ``n`` ≥ 1. ``engine`` picks the shift spelling: Spark's shiftleft()
+    vs DuckDB's << (everything else is common SQL)."""
+    k = f"(length(bin(CAST({n} AS BIGINT))) - 1)"
+    shl = (
+        f"shiftleft(CAST(1 AS BIGINT), {k})"
+        if engine == "spark"
+        else f"(CAST(1 AS BIGINT) << {k})"
+    )
+    m = f"(CAST({n} AS DOUBLE) / CAST({shl} AS DOUBLE))"
+    t = f"(({m} - 1.0) / ({m} + 1.0))"
+    t2 = f"({t} * {t})"
+    poly = _SERIES[-1]
+    for c in _SERIES[-2::-1]:  # Horner over the odd series
+        poly = f"({c} + {t2} * {poly})"
+    return f"(CAST({k} AS DOUBLE) * {_LN2} + {t} * {poly})"
+
+
 def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document negative log-likelihood under the corpus's own
     unigram language model — the perplexity-proxy quality score an LLM
     data pipeline uses to rank/filter documents (high NLL = unusual
     token mix). p(w) = corpus_count(w) / corpus_tokens; each token's
-    -ln p(w) is snapped to integer micro-nats BEFORE summation (the
-    money convention applied to log-space), so the per-doc sum is
-    order-independent integer addition on both engines. Output:
-    (doc_id, n_tokens, nll_micro) — no division, callers derive the
-    mean.
+    -ln p(w) = ln(tot) − ln(cnt) is computed with the shared
+    deterministic ln (ln_int_sql — identical doubles on both engines,
+    no libm-ulp cert flake) and snapped to integer micro-nats BEFORE
+    summation (the money convention applied to log-space), so the
+    per-doc sum is order-independent integer addition on both engines.
+    Output: (doc_id, n_tokens, nll_micro) — no division, callers derive
+    the mean.
 
     Scale shape: one token explode feeding (a) the word-count aggregate
     (map-side combinable, vocab-sized result) and (b) the per-doc join
@@ -262,20 +301,17 @@ def q_text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     wx = d.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
     counts = wx.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     tot = counts.agg(F.sum("cnt").alias("tot"))
+    nll_w = (
+        f"CAST(ROUND(({ln_int_sql('tot', 'spark')} - "
+        f"{ln_int_sql('cnt', 'spark')}) * 1e6, 0) AS BIGINT)"
+    )
     # Broadcast the model: the counts relation is vocab-sized, and the
     # word key is maximally skewed (stopwords) — a shuffle join here
     # would funnel the "the"-partition through one task at scale.
     scored = (
         wx.join(F.broadcast(counts), "word")
         .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(F.col("tot").cast("double") / F.col("cnt").cast("double")) * 1e6
-            )
-            .cast("long")
-            .alias("nll_w"),
-        )
+        .select("doc_id", F.expr(nll_w).alias("nll_w"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -289,7 +325,8 @@ UNIGRAM_NLL_SQL = f"""
     tot AS (SELECT SUM(cnt) AS tot FROM counts),
     scored AS (
       SELECT doc_id,
-             CAST(ROUND(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e6, 0)
+             CAST(ROUND(({ln_int_sql('tot', 'duckdb')}
+                         - {ln_int_sql('cnt', 'duckdb')}) * 1e6, 0)
                   AS BIGINT) AS nll_w
       FROM wx JOIN counts USING (word), tot)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
