@@ -1,0 +1,87 @@
+"""Build a 10× replica of an sf dir for the scale smoke (VERDICT r5
+next #5): the 100 TB argument needs at least one measured sf0.1→sf1
+scaling ratio per expensive query, not just plan-shape reasoning.
+
+Scaling recipe — "10 disjoint copies", the honest way to 10× a corpus
+without changing its per-copy statistics:
+  - lineitem/orders: key columns offset by copy × (max_key + 1), so the
+    order/basket/co-occurrence structure repeats 10× disjointly (10×
+    edges, 10× baskets, 10× agg groups).
+  - documents: doc_id offset; the text HEAD gets a per-copy prefix so
+    content-derived keys (MinHash bands, pHash/audio seeds = head
+    digest) do NOT collide across copies — near-dup family structure is
+    preserved within each copy, and candidate-pair volume scales ~10×
+    like a real corpus, not ~100× like naive duplication would.
+  - everything else is symlinked (the smoke queries don't read it).
+
+Usage: python tools/make_scale_dir.py [src_sf_dir] [dst_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_scale"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    def p(name: str, d: str = "") -> str:
+        return os.path.join(d or src, f"{name}.parquet")
+
+    def off(table: str, col: str) -> int:
+        return con.execute(
+            f"SELECT MAX({col}) + 1 FROM read_parquet('{p(table)}')"
+        ).fetchone()[0]
+
+    ok, ck, pk, sk = (
+        off("orders", "o_orderkey"),
+        off("orders", "o_custkey"),
+        off("lineitem", "l_partkey"),
+        off("lineitem", "l_suppkey"),
+    )
+    dk = off("documents", "doc_id")
+
+    con.execute(f"""
+        COPY (SELECT o_orderkey + i * {ok} AS o_orderkey,
+                     o_custkey + i * {ck} AS o_custkey,
+                     * EXCLUDE (o_orderkey, o_custkey)
+              FROM read_parquet('{p("orders")}') CROSS JOIN range({factor}) t(i))
+        TO '{p("orders", dst)}' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (SELECT l_orderkey + i * {ok} AS l_orderkey,
+                     l_partkey + i * {pk} AS l_partkey,
+                     l_suppkey + i * {sk} AS l_suppkey,
+                     * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
+              FROM read_parquet('{p("lineitem")}') CROSS JOIN range({factor}) t(i))
+        TO '{p("lineitem", dst)}' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (SELECT doc_id + i * {dk} AS doc_id,
+                     'c' || i || ' ' || text AS text,
+                     * EXCLUDE (doc_id, text)
+              FROM read_parquet('{p("documents")}') CROSS JOIN range({factor}) t(i))
+        TO '{p("documents", dst)}' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part", "events",
+              "embeddings"):
+        link = p(t, dst)
+        if not os.path.exists(link):
+            os.symlink(p(t), link)
+    for t in ("orders", "lineitem", "documents"):
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{p(t, dst)}')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows -> {p(t, dst)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
