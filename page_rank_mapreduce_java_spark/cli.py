@@ -88,7 +88,12 @@ def full_registry() -> tuple[dict, dict]:
     registry would make the correctness gate pass on fewer queries
     without anyone noticing."""
     from page_rank_mapreduce_java_spark.dedup import queries as dedup_queries
-    from page_rank_mapreduce_java_spark.functions import text_queries, text_queries2
+    from page_rank_mapreduce_java_spark.functions import (
+        text_queries,
+        text_queries2,
+        text_queries3,
+    )
+    from page_rank_mapreduce_java_spark.graph import linkpred
     from page_rank_mapreduce_java_spark.graph import queries as graph_queries
     from page_rank_mapreduce_java_spark.operators import (
         relational,
@@ -102,10 +107,12 @@ def full_registry() -> tuple[dict, dict]:
         relational9,
         relational10,
         relational11,
+        relational12,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
     from page_rank_mapreduce_java_spark.multimodal import phash as mm_phash
+    from page_rank_mapreduce_java_spark.multimodal import videofp as mm_videofp
     from page_rank_mapreduce_java_spark.similarity import queries as sim_queries
     from page_rank_mapreduce_java_spark.streaming import queries as stream_queries
 
@@ -113,6 +120,7 @@ def full_registry() -> tuple[dict, dict]:
     o: dict = {}
     for m in (
         graph_queries,
+        linkpred,
         relational,
         relational2,
         relational3,
@@ -124,13 +132,16 @@ def full_registry() -> tuple[dict, dict]:
         relational9,
         relational10,
         relational11,
+        relational12,
         recommend,
         dedup_queries,
         sim_queries,
         mm_phash,
         mm_audiofp,
+        mm_videofp,
         text_queries,
         text_queries2,
+        text_queries3,
         stream_queries,
     ):
         q.update(m.QUERIES)

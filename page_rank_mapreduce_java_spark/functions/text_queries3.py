@@ -1,0 +1,259 @@
+"""Text-analysis surface, batch 3 (round 6): corpus-mixture planning and
+deeper language-model scoring for training-data curation — largest-
+remainder token-budget apportionment (the deterministic mixture-weight
+allocator every multi-source pretraining run needs), per-document bigram
+NLL (the conditional-probability upgrade of text_unigram_nll), and a
+readability profile per language (words/sentence, chars/word — the
+Flesch-style structural signals).
+
+Beyond-reference extension surface (SURVEY §2.9). Tokenization parity:
+functions.textfn.words == text_queries2.WORDS_SQL. All log arithmetic
+rides the deterministic ln (text_queries2.ln_int_sql — correctly-rounded
+IEEE ops only, bit-identical across engines); every score snaps to
+integer units before any summation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.functions.text_queries2 import (
+    WORDS_SQL,
+    ln_int_sql,
+)
+from page_rank_mapreduce_java_spark.functions.textfn import words
+
+MIXTURE_BUDGET = 1_000_000
+
+
+def q_text_mixture_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a global token budget across sources proportionally to
+    their token mass with the largest-remainder (Hamilton) method — the
+    exact integer allocator for pretraining mixture weights: quotas sum
+    EXACTLY to the budget, every source gets ⌊B·tok/T⌋ plus at most one
+    remainder seat (ties broken by source name). Output:
+    (source, n_tokens, quota).
+
+    Scale shape: one token explode into a map-side-combined per-source
+    count; the apportionment window runs over the SOURCES relation — a
+    bounded small-domain attribute (the documented exception to the
+    no-global-window rule, cf. skyline_parts)."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = (
+        d.select("source", F.size(words(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    t = tok.agg(F.sum("n_tokens").alias("t"))
+    x = tok.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({MIXTURE_BUDGET} * n_tokens) div t").alias("_base"),
+        F.expr(f"({MIXTURE_BUDGET} * n_tokens) % t").alias("_rem"),
+    )
+    leftover = F.lit(MIXTURE_BUDGET) - F.sum("_base").over(Window.partitionBy())
+    rk = F.row_number().over(Window.orderBy(F.desc("_rem"), F.asc("source")))
+    return (
+        x.withColumn("_left", leftover)
+        .withColumn("_rk", rk)
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+
+
+MIXTURE_QUOTA_SQL = f"""
+    WITH tok AS (
+      SELECT source, CAST(SUM(len({WORDS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM tok),
+    x AS (
+      SELECT source, n_tokens,
+             ({MIXTURE_BUDGET} * n_tokens) // t AS base,
+             ({MIXTURE_BUDGET} * n_tokens) % t AS rem
+      FROM tok, t
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             {MIXTURE_BUDGET} - SUM(base) OVER () AS leftover
+      FROM x
+    )
+    SELECT source, n_tokens,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM r
+"""
+
+
+def q_text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram negative log-likelihood under the corpus's
+    own bigram model with add-one smoothing: p(w₂|w₁) =
+    (c(w₁w₂)+1) / (c(w₁·)+V), where c(w₁·) counts bigrams STARTING with
+    w₁ and V is the vocabulary size — the conditional upgrade of
+    text_unigram_nll (a doc can have common words in uncommon ORDER).
+    Each token's −ln p = ln(c(w₁·)+V) − ln(c(w₁w₂)+1) uses the
+    deterministic ln over integer arguments and snaps to micro-nats
+    before the per-doc sum. Docs with < 2 tokens have no bigrams and no
+    row. Output: (doc_id, n_bigrams, nll_micro).
+
+    Scale shape: one posexplode; the bigram pairing is a lead() window
+    partitioned by DOC (keyed, never global); model counts are
+    vocab²-bounded and join back on the bigram key; the 1-row (V, ·)
+    relation broadcasts."""
+    d = load_table(spark, "documents", sf_dir)
+    wx = d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w1")
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        wx.withColumn("w2", F.lead("w1").over(wlead))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = wx.agg(F.countDistinct("w1").alias("v"))
+    nll = (
+        f"CAST(ROUND(({ln_int_sql('(c1 + v)', 'spark')} - "
+        f"{ln_int_sql('(c12 + 1)', 'spark')}) * 1e6, 0) AS BIGINT)"
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", F.expr(nll).alias("nll_w"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll_w").alias("nll_micro"),
+    )
+
+
+def _bigram_nll_sql() -> str:
+    nll = (
+        f"CAST(ROUND(({ln_int_sql('(c1 + v)', 'duckdb')} - "
+        f"{ln_int_sql('(c12 + 1)', 'duckdb')}) * 1e6, 0) AS BIGINT)"
+    )
+    return f"""
+    WITH wx AS (
+      SELECT doc_id, pos, w1 FROM (
+        SELECT doc_id,
+               generate_subscripts({WORDS_SQL}, 1) AS pos,
+               unnest({WORDS_SQL}) AS w1
+        FROM documents)
+    ),
+    bg AS (
+      SELECT doc_id, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM wx QUALIFY w2 IS NOT NULL
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w1) AS v FROM wx),
+    scored AS (
+      SELECT bg.doc_id, {nll} AS nll_w
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_w) AS BIGINT) AS nll_micro
+    FROM scored GROUP BY 1
+"""
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per language: mean words per sentence and
+    chars per word in milli-units — the structural half of a
+    Flesch-style readability score (long sentences of long words rank
+    hard), aggregated from exact integer counts (sentence terminators
+    counted by stripping every non-.!? character; chars from the
+    table's n_chars; one terminal division each). Languages whose
+    script uses no .!? terminators report -1 (sentinel, NULL-free).
+    Output: (lang, n_docs, n_words, n_sents, words_per_sent_milli,
+    chars_per_word_milli).
+
+    Scale shape: per-document counts are narrow JVM expressions; one
+    map-side-combined aggregate to the languages relation."""
+    d = load_table(spark, "documents", sf_dir)
+    per = d.select(
+        "lang",
+        F.size(words(F.col("text"))).alias("nw"),
+        F.length(F.regexp_replace(F.col("text"), "[^.!?]", "")).alias("ns"),
+        F.col("n_chars").alias("nc"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("n_words"),
+        F.sum("ns").alias("n_sents"),
+        F.sum("nc").alias("_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_sents",
+        F.coalesce(
+            F.round(
+                F.lit(1e3)
+                * F.col("n_words").cast("double")
+                / F.nullif(F.col("n_sents"), F.lit(0)).cast("double")
+            ).cast("long"),
+            F.lit(-1),
+        ).alias("words_per_sent_milli"),
+        F.coalesce(
+            F.round(
+                F.lit(1e3)
+                * F.col("_chars").cast("double")
+                / F.nullif(F.col("n_words"), F.lit(0)).cast("double")
+            ).cast("long"),
+            F.lit(-1),
+        ).alias("chars_per_word_milli"),
+    )
+
+
+READABILITY_SQL = f"""
+    WITH per AS (
+      SELECT lang,
+             len({WORDS_SQL}) AS nw,
+             length(regexp_replace(text, '[^.!?]', '', 'g')) AS ns,
+             n_chars AS nc
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nw) AS BIGINT) AS n_words,
+             CAST(SUM(ns) AS BIGINT) AS n_sents,
+             CAST(SUM(nc) AS BIGINT) AS chars
+      FROM per GROUP BY 1
+    )
+    SELECT lang, n_docs, n_words, n_sents,
+           COALESCE(CAST(ROUND(1e3 * CAST(n_words AS DOUBLE)
+                    / CAST(NULLIF(n_sents, 0) AS DOUBLE), 0) AS BIGINT), -1)
+             AS words_per_sent_milli,
+           COALESCE(CAST(ROUND(1e3 * CAST(chars AS DOUBLE)
+                    / CAST(NULLIF(n_words, 0) AS DOUBLE), 0) AS BIGINT), -1)
+             AS chars_per_word_milli
+    FROM agg
+"""
+
+
+QUERIES = {
+    "text_mixture_quota": q_text_mixture_quota,
+    "text_bigram_nll": q_text_bigram_nll,
+    "text_readability": q_text_readability,
+}
+
+ORACLES = {
+    "text_mixture_quota": MIXTURE_QUOTA_SQL,
+    "text_bigram_nll": _bigram_nll_sql(),
+    "text_readability": READABILITY_SQL,
+}

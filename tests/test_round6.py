@@ -1,0 +1,225 @@
+"""Round-6 additions: link prediction (Adamic–Adar, rich club),
+gaps-and-islands, seasonal residuals, period detection, Theil index,
+KMV union sketch, mixture quota, bigram NLL, readability, and the video
+modality. Oracle parity is certified by tools/check_oracle.py /
+the driver gate; these tests pin the INVARIANTS the oracles can't
+express (conservation laws, estimator bounds, container round-trips,
+partition invariance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_adamic_adar_weights_consistent(spark, sf_dir):
+    """Every returned pair's n_common must match the plain
+    common-neighbor count (AA only reweights, never changes the wedge
+    set), and aa_micro must lie within n_common·[1e6/ln(cap), 1e6/ln 2]."""
+    import math
+
+    from page_rank_mapreduce_java_spark.graph.linkpred import q_adamic_adar
+    from page_rank_mapreduce_java_spark.graph.queries import (
+        COMMON_NEIGHBORS_DEG_CAP,
+        common_neighbor_counts,
+        cooccurrence_edges,
+    )
+
+    aa = {(r.u, r.v): r for r in q_adamic_adar(spark, sf_dir).collect()}
+    assert 0 < len(aa) <= 25
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    cn = {
+        (r.u, r.v): r.n_common
+        for r in common_neighbor_counts(
+            sym, deg_cap=COMMON_NEIGHBORS_DEG_CAP
+        ).collect()
+    }
+    lo = 1e6 / math.log(COMMON_NEIGHBORS_DEG_CAP)
+    hi = 1e6 / math.log(2)
+    for (u, v), r in aa.items():
+        assert cn[(u, v)] == r.n_common
+        assert r.n_common * lo - 1 <= r.aa_micro <= r.n_common * hi + 1
+
+
+def test_rich_club_monotone_and_bounded(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.graph.linkpred import q_rich_club
+
+    rows = sorted(q_rich_club(spark, sf_dir).collect(), key=lambda r: r.k)
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes  # deg > k nodes shrink with k
+        assert b.n_edges <= a.n_edges
+    for r in rows:
+        assert 0 <= r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+        assert 0 <= r.phi_ppm <= 1_000_000
+
+
+def test_islands_conserve_member_months(spark, sf_dir):
+    """Σ island_months · n_islands must equal the number of distinct
+    (customer, month) cells — islands partition the activity set."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_orders_monthly_islands,
+    )
+
+    hist = q_orders_monthly_islands(spark, sf_dir).collect()
+    total = sum(r.island_months * r.n_islands for r in hist)
+    o = load_table(spark, "orders", sf_dir)
+    cells = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .distinct()
+        .count()
+    )
+    assert total == cells
+
+
+def test_dow_residuals_sum_to_zero_per_weekday(spark, sf_dir):
+    """Σ resid_num within a weekday is identically 0 (residuals of a
+    group mean) — the conservation law of seasonal adjustment."""
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_events_dow_residuals,
+    )
+
+    rows = q_events_dow_residuals(spark, sf_dir).collect()
+    assert rows
+    by_dow: dict[int, int] = {}
+    for r in rows:
+        by_dow[r.dow] = by_dow.get(r.dow, 0) + r.resid_num
+    assert all(v == 0 for v in by_dow.values()), by_dow
+
+
+def test_period_detect_in_range(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_events_period_detect,
+    )
+
+    r = q_events_period_detect(spark, sf_dir).collect()
+    assert len(r) == 1 and 1 <= r[0].best_lag <= 7
+
+
+def test_theil_nonnegative_and_gini_consistent(spark, sf_dir):
+    """Theil ≥ 0 (Jensen, modulo per-term micro rounding) and agrees in
+    SIGN OF INEQUALITY with a direct float recomputation."""
+    import math
+
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.money import cents
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_agg_theil_nation,
+    )
+
+    r = q_agg_theil_nation(spark, sf_dir).collect()[0]
+    assert r.theil_micro >= -r.n_groups  # half-up slack per group term
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", cents("o_totalprice").alias("x")
+    )
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    xs = [
+        row.s
+        for row in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    ]
+    mu = sum(xs) / len(xs)
+    t_float = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+    assert abs(r.theil_micro / 1e6 - t_float) < 1e-3
+
+
+def test_kmv_union_shape(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_sketch_kmv_union,
+    )
+
+    rows = {r.set_name: r.est_distinct for r in q_sketch_kmv_union(spark, sf_dir).collect()}
+    assert set(rows) == {"click", "view", "union"}
+    assert all(v > 0 for v in rows.values())
+    # union of the two segments can never be smaller than ~the larger
+    # one beyond sketch noise (13% at K=64)
+    assert rows["union"] >= 0.8 * max(rows["click"], rows["view"])
+
+
+def test_mixture_quota_sums_exactly_to_budget(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.functions.text_queries3 import (
+        MIXTURE_BUDGET,
+        q_text_mixture_quota,
+    )
+
+    rows = q_text_mixture_quota(spark, sf_dir).collect()
+    assert sum(r.quota for r in rows) == MIXTURE_BUDGET
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        base = MIXTURE_BUDGET * r.n_tokens // total
+        assert r.quota in (base, base + 1)
+
+
+def test_bigram_nll_counts_and_sign(spark, sf_dir):
+    """Every doc with ≥2 tokens appears with n_bigrams = n_tokens − 1;
+    add-one smoothing keeps each term ≥ 0 so sums are ≥ 0."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.text_queries3 import (
+        q_text_bigram_nll,
+    )
+    from page_rank_mapreduce_java_spark.functions.textfn import words
+
+    got = {r.doc_id: r for r in q_text_bigram_nll(spark, sf_dir).collect()}
+    d = load_table(spark, "documents", sf_dir)
+    ntok = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(words(F.col("text"))).alias("n")).collect()
+    }
+    for doc_id, n in ntok.items():
+        if n >= 2:
+            assert got[doc_id].n_bigrams == n - 1
+            assert got[doc_id].nll_micro >= 0
+        else:
+            assert doc_id not in got
+
+
+def test_readability_covers_all_docs(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.text_queries3 import (
+        q_text_readability,
+    )
+
+    rows = q_text_readability(spark, sf_dir).collect()
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.chars_per_word_milli >= 1000 or r.chars_per_word_milli == -1
+        assert r.words_per_sent_milli > 0 or r.words_per_sent_milli == -1
+
+
+def test_rvid_container_roundtrip():
+    from page_rank_mapreduce_java_spark.multimodal.videofp import (
+        _decode_rvid,
+        _encode_rvid,
+    )
+
+    frames = [b"abc", b"", b"x" * 100, b"\x00\xff"]
+    assert _decode_rvid(_encode_rvid(frames)) == frames
+
+
+def test_video_fingerprint_partition_invariant_and_pairs(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.multimodal.videofp import (
+        documents_to_video,
+        q_mm_video_fp_pairs,
+        video_fingerprint,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    a = sorted(
+        map(tuple, video_fingerprint(documents_to_video(d.repartition(2))).collect())
+    )
+    b = sorted(
+        map(tuple, video_fingerprint(documents_to_video(d.repartition(13))).collect())
+    )
+    assert a == b and len(a) == d.count()
+    pairs = q_mm_video_fp_pairs(spark, sf_dir).collect()
+    # the corpus plants shared-head near-dup families -> exact matches
+    assert any(r.hamming == 0 for r in pairs)
+    assert all(0 <= r.hamming <= 3 and r.doc_a < r.doc_b for r in pairs)
