@@ -70,10 +70,17 @@ def _decode_rvid(payload: bytes) -> list[bytes]:
     return out
 
 
-def documents_to_video(docs: DataFrame) -> DataFrame:
+def documents_to_video(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Encode each document's deterministic frame sequence as a real
-    RVID container of BMP frames. Arrow-batched; one row per doc."""
+    RVID container of BMP frames. Arrow-batched; one row per doc.
+    ``carry`` columns pass through unchanged (phash.documents_to_bmp
+    convention — the streaming keeper carries its event time)."""
     from page_rank_mapreduce_java_spark.multimodal.media import _encode_bmp
+
+    cols = ["doc_id", "payload", *carry]
+    carry_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def _payload(text: str) -> bytes:
         import numpy as np
@@ -97,25 +104,30 @@ def documents_to_video(docs: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].tolist(),
-                    "payload": [_payload(t) for t in pdf["text"].tolist()],
-                },
-                columns=["doc_id", "payload"],
-            )
+            data = {
+                "doc_id": pdf["doc_id"].tolist(),
+                "payload": [_payload(t) for t in pdf["text"].tolist()],
+            }
+            for c in carry:
+                data[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(data, columns=cols)
 
-    return docs.select("doc_id", "text").mapInPandas(
-        run, "doc_id LONG, payload BINARY"
+    return docs.select("doc_id", "text", *carry).mapInPandas(
+        run, "doc_id LONG, payload BINARY" + carry_schema
     )
 
 
-def video_fingerprint(media: DataFrame) -> DataFrame:
+def video_fingerprint(media: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Decode RVID payloads, pHash every frame (one batched einsum over
     ALL frames of the batch), XOR-combine per video:
-    DataFrame[doc_id LONG, vfp LONG]."""
+    DataFrame[doc_id LONG, vfp LONG, *carry]."""
     from page_rank_mapreduce_java_spark.multimodal.media import _bmp_pixels
     from page_rank_mapreduce_java_spark.multimodal.phash import dct_basis_int
+
+    cols = ["doc_id", "vfp", *carry]
+    carry_schema = "".join(
+        f", {c} {media.schema[c].dataType.simpleString()}" for c in carry
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -125,8 +137,7 @@ def video_fingerprint(media: DataFrame) -> DataFrame:
         shifts = np.arange(n * n - 1)
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"doc_id": [], "vfp": []},
-                                   columns=["doc_id", "vfp"])
+                yield pd.DataFrame({c: [] for c in cols}, columns=cols)
                 continue
             grids = np.stack(
                 [
@@ -143,15 +154,51 @@ def video_fingerprint(media: DataFrame) -> DataFrame:
             vfp = fps[:, 0]
             for f in range(1, VFP_FRAMES):
                 vfp = vfp ^ fps[:, f]
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].tolist(), "vfp": vfp},
-                columns=["doc_id", "vfp"],
-            )
+            data = {"doc_id": pdf["doc_id"].tolist(), "vfp": vfp}
+            for c in carry:
+                data[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(data, columns=cols)
 
-    return media.mapInPandas(run, "doc_id LONG, vfp LONG")
+    return media.mapInPandas(run, "doc_id LONG, vfp LONG" + carry_schema)
+
+
+def video_keeper_stream(
+    docs: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming video dedup, completing the keeper triple
+    (phash.phash_keeper_stream / audiofp.audio_keeper_stream): one
+    representative document per video fingerprint. Streaming inputs
+    carry an event-time ``ts`` and bound state with
+    dropDuplicatesWithinWatermark on the fingerprint; batch inputs keep
+    the smallest doc_id per fingerprint — the deterministic,
+    oracle-checkable twin. Output: (doc_id, vfp)."""
+    from pyspark.sql import functions as F
+
+    streaming = docs.isStreaming
+    carry = ("ts",) if streaming else ()
+    fp = video_fingerprint(documents_to_video(docs, carry=carry), carry=carry)
+    if streaming:
+        return fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["vfp"]
+        ).select("doc_id", "vfp")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vfp").orderBy("doc_id")
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "vfp")
+    )
 
 
 # --- registry queries ---------------------------------------------------------
+
+
+def q_mm_video_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """video_keeper_stream in batch mode (the streaming-dedup family's
+    batch-parity convention): one keeper per video fingerprint."""
+    d = load_table(spark, "documents", sf_dir)
+    return video_keeper_stream(d)
 
 
 def q_mm_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,12 +273,24 @@ VFP_PAIRS_SQL = f"""
 """
 
 
+VFP_KEEPERS_SQL = f"""
+    WITH {_vfp_cte()}
+    SELECT doc_id, vfp FROM (
+      SELECT doc_id, vfp,
+             row_number() OVER (PARTITION BY vfp ORDER BY doc_id) AS rn
+      FROM vf)
+    WHERE rn = 1
+"""
+
+
 QUERIES = {
     "mm_video_fingerprint": q_mm_video_fingerprint,
     "mm_video_fp_pairs": q_mm_video_fp_pairs,
+    "mm_video_keepers": q_mm_video_keepers,
 }
 
 ORACLES = {
     "mm_video_fingerprint": VFP_SQL,
     "mm_video_fp_pairs": VFP_PAIRS_SQL,
+    "mm_video_keepers": VFP_KEEPERS_SQL,
 }

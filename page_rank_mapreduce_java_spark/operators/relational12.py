@@ -305,12 +305,98 @@ def _kmv_union_sql() -> str:
 """
 
 
+# --- nearest as-of join -------------------------------------------------------
+
+
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each event matched to the user's
+    closest order in TIME — before or after — with ties (equidistant
+    back/forward) resolved toward the earlier order. Complements the
+    backward-only join_asof_latest_order; kdb's aj/w and Pandas
+    merge_asof(direction='nearest') are the reference semantics.
+
+    Realization: TWO passes of the union-sort as-of chassis
+    (operators/asof.py) — backward on the micros timeline, forward on
+    its negation — then one row-level arbitration by absolute distance.
+    Cost stays two exchanges + two in-partition sorts, both keyed on
+    the same user key; no per-row range probe, no interval blow-up.
+    Output: (event_id, user_id, nearest_orderkey, delta_us — signed
+    event-minus-order distance, ≥ 0 means the order preceded)."""
+    from page_rank_mapreduce_java_spark.operators.asof import asof_join
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_id"
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(F.max("o_orderkey").alias("okey"))
+        .select("user_id", F.unix_micros("ots").alias("otsu"), "okey")
+    )
+    back = asof_join(
+        e,
+        o.select("user_id", F.col("otsu").alias("tsu"),
+                 F.col("okey").alias("bk_key"), F.col("otsu").alias("bk_tsu")),
+        on="user_id", ts="tsu", payload=["bk_key", "bk_tsu"],
+        how="left", tiebreak=["event_id"],
+    )
+    fwd = asof_join(
+        e.select("user_id", (-F.col("tsu")).alias("tsn"), "event_id"),
+        o.select("user_id", (-F.col("otsu")).alias("tsn"),
+                 F.col("okey").alias("fw_key"), F.col("otsu").alias("fw_tsu")),
+        on="user_id", ts="tsn", payload=["fw_key", "fw_tsu"],
+        how="left", tiebreak=["event_id"],
+    ).select("event_id", "fw_key", "fw_tsu")
+    j = back.join(fwd, "event_id")
+    db = F.col("tsu") - F.col("bk_tsu")  # ≥ 0 when matched
+    df_ = F.col("fw_tsu") - F.col("tsu")  # ≥ 0 when matched
+    take_back = F.col("bk_key").isNotNull() & (
+        F.col("fw_key").isNull() | (db <= df_)
+    )
+    return j.filter(
+        F.col("bk_key").isNotNull() | F.col("fw_key").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(take_back, F.col("bk_key"))
+        .otherwise(F.col("fw_key"))
+        .alias("nearest_orderkey"),
+        F.when(take_back, db).otherwise(-df_).alias("delta_us"),
+    )
+
+
+ASOF_NEAREST_SQL = """
+    WITH o AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ots,
+             MAX(o_orderkey) AS okey
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT e.event_id, e.user_id, o.okey,
+             epoch_us(e.ts) - epoch_us(o.ots) AS delta_us,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(o.ots)) ASC,
+                        CASE WHEN o.ots <= e.ts THEN 0 ELSE 1 END ASC
+             ) AS rn
+      FROM events e JOIN o ON e.user_id = o.k
+    )
+    SELECT event_id, user_id, okey AS nearest_orderkey,
+           CAST(delta_us AS BIGINT) AS delta_us
+    FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "orders_monthly_islands": q_orders_monthly_islands,
     "events_dow_residuals": q_events_dow_residuals,
     "events_period_detect": q_events_period_detect,
     "agg_theil_nation": q_agg_theil_nation,
     "sketch_kmv_union": q_sketch_kmv_union,
+    "join_asof_nearest": q_join_asof_nearest,
 }
 
 ORACLES = {
@@ -319,4 +405,5 @@ ORACLES = {
     "events_period_detect": _period_detect_sql(),
     "agg_theil_nation": _theil_sql(),
     "sketch_kmv_union": _kmv_union_sql(),
+    "join_asof_nearest": ASOF_NEAREST_SQL,
 }

@@ -203,6 +203,90 @@ def test_rvid_container_roundtrip():
     assert _decode_rvid(_encode_rvid(frames)) == frames
 
 
+def test_video_keeper_stream_matches_batch(spark):
+    """Stream-mode video keepers match the batch twin (the dual-mode
+    contract all three modality keepers share)."""
+    import tempfile
+
+    from page_rank_mapreduce_java_spark.multimodal.videofp import (
+        video_keeper_stream,
+    )
+    from page_rank_mapreduce_java_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    rows = [
+        (i, f"streamed doc {i} body", f"2024-03-01 10:{i:02d}:00")
+        for i in range(8)
+    ] + [
+        (100, "streamed doc 2 body", "2024-03-01 11:00:00"),
+        (101, "streamed doc 2 body", "2024-03-01 11:01:00"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, ts_s string"
+    ).select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+    src = tempfile.mkdtemp(prefix="vdocs_stream_")
+    for lo, hi in ((0, 5), (5, 102)):
+        batch.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = video_keeper_stream(
+        spark.readStream.schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        watermark="1 day",
+    )
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "video_keepers_out")
+    got = {
+        (r.doc_id, r.vfp)
+        for r in spark.sql("SELECT * FROM video_keepers_out").collect()
+    }
+    exp = {(r.doc_id, r.vfp) for r in video_keeper_stream(batch).collect()}
+    assert got == exp and len(got) == 8
+    assert all(d < 100 for d, _ in got)
+
+
+def test_asof_nearest_vs_bruteforce(spark, sf_dir):
+    """join_asof_nearest must agree with a brute-force per-event argmin
+    over |event − order| with ties to the earlier order."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_join_asof_nearest,
+    )
+
+    got = {
+        r.event_id: (r.nearest_orderkey, r.delta_us)
+        for r in q_join_asof_nearest(spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tsu")
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("okey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("otsu"),
+            "okey",
+        )
+    )
+    orders_by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in o.collect():
+        orders_by_user.setdefault(r.user_id, []).append((r.otsu, r.okey))
+    n_checked = 0
+    for r in e.limit(300).collect():
+        cands = orders_by_user.get(r.user_id)
+        if not cands:
+            assert r.event_id not in got
+            continue
+        best = min(cands, key=lambda c: (abs(r.tsu - c[0]), c[0] > r.tsu))
+        assert got[r.event_id] == (best[1], r.tsu - best[0])
+        n_checked += 1
+    assert n_checked > 50
+
+
 def test_video_fingerprint_partition_invariant_and_pairs(spark, sf_dir):
     from page_rank_mapreduce_java_spark.catalog import load_table
     from page_rank_mapreduce_java_spark.multimodal.videofp import (
