@@ -251,10 +251,15 @@ def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).filter(
         F.col("event_type").isin("click", "view")
     )
-    hv = md5_long(F.col("user_id").cast("string")).alias("hv")
-    per_set = e.select(F.col("event_type").alias("set_name"), hv)
-    union_set = e.select(F.lit("union").alias("set_name"), hv)
-    d = per_set.unionByName(union_set).distinct()
+    # ONE fact scan feeds all three sketches: each row fans out to its
+    # own set and the union set via explode (a union-of-selects would
+    # scan events twice).
+    d = e.select(
+        F.explode(F.array(F.col("event_type"), F.lit("union"))).alias(
+            "set_name"
+        ),
+        md5_long(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
     r = global_row_number(d, [F.asc("set_name"), F.asc("hv")], out_col="_grn")
     off = r.groupBy("set_name").agg((F.min("_grn") - 1).alias("_off"))
     kept = (
@@ -283,9 +288,9 @@ def _kmv_union_sql() -> str:
                   WHERE event_type IN ('click', 'view')),
     d AS (
       SELECT DISTINCT set_name, hv FROM (
-        SELECT event_type AS set_name, {h} AS hv FROM base
-        UNION ALL
-        SELECT 'union' AS set_name, {h} AS hv FROM base)
+        SELECT unnest(list_value(event_type, 'union')) AS set_name,
+               {h} AS hv
+        FROM base)
     ),
     ranked AS (
       SELECT set_name, hv,
