@@ -246,14 +246,117 @@ READABILITY_SQL = f"""
 """
 
 
+JSD_LANG_A = "en"
+JSD_LANG_B = "de"
+
+
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the word distributions of two
+    language slices — the symmetric, bounded (≤ ln 2) corpus-drift
+    metric a pipeline tracks between snapshots or sources. Everything
+    reduces to integer ratios: with a_i, b_i the word counts and A, B
+    the totals, p_i/m_i = 2·a_i·B / (a_i·B + b_i·A), so each word's
+    contribution is (a_i/A)·(ln(2·a_i·B) − ln(a_i·B + b_i·A))/2 (resp.
+    b-side) through the deterministic ln over integer arguments,
+    snapped to micro-nats before the vocabulary-sized sum. (Integer
+    bound: a_i·B stays under 2^63 while slice_tokens² does — beyond
+    that the products ride DECIMAL and bin() needs a HUGEINT variant;
+    documented, far past any test scale.) Output: 1 row
+    (n_words_union, jsd_micro).
+
+    Scale shape: one token explode → (lang, word) counts (map-side
+    combined, vocab-sized); a full-outer word join of two vocab-sized
+    relations; 1-row totals broadcast."""
+    d = load_table(spark, "documents", sf_dir).filter(
+        F.col("lang").isin(JSD_LANG_A, JSD_LANG_B)
+    )
+    wc = (
+        d.select("lang", F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = wc.filter(F.col("lang") == JSD_LANG_A).select(
+        "word", F.col("n").alias("a")
+    )
+    b = wc.filter(F.col("lang") == JSD_LANG_B).select(
+        "word", F.col("n").alias("b")
+    )
+    m = (
+        a.join(b, "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    tot = m.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    term_a = (
+        f"CASE WHEN a > 0 THEN CAST(ROUND(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)"
+        f" * ({ln_int_sql('(2 * a * tb)', 'spark')} - "
+        f"{ln_int_sql('(a * tb + b * ta)', 'spark')}) * 5e5, 0) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+    term_b = (
+        f"CASE WHEN b > 0 THEN CAST(ROUND(CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)"
+        f" * ({ln_int_sql('(2 * b * ta)', 'spark')} - "
+        f"{ln_int_sql('(a * tb + b * ta)', 'spark')}) * 5e5, 0) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+    terms = m.crossJoin(F.broadcast(tot)).select(
+        F.expr(term_a).alias("tam"), F.expr(term_b).alias("tbm")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_words_union"),
+        (F.sum("tam") + F.sum("tbm")).alias("jsd_micro"),
+    )
+
+
+def _jsd_sql() -> str:
+    term_a = (
+        f"CASE WHEN a > 0 THEN CAST(ROUND(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)"
+        f" * ({ln_int_sql('(2 * a * tb)', 'duckdb')} - "
+        f"{ln_int_sql('(a * tb + b * ta)', 'duckdb')}) * 5e5, 0) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+    term_b = (
+        f"CASE WHEN b > 0 THEN CAST(ROUND(CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)"
+        f" * ({ln_int_sql('(2 * b * ta)', 'duckdb')} - "
+        f"{ln_int_sql('(a * tb + b * ta)', 'duckdb')}) * 5e5, 0) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+    return f"""
+    WITH wc AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT lang, unnest({WORDS_SQL}) AS word FROM documents
+        WHERE lang IN ('{JSD_LANG_A}', '{JSD_LANG_B}'))
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT COALESCE(x.word, y.word) AS word,
+             COALESCE(x.n, 0) AS a, COALESCE(y.n, 0) AS b
+      FROM (SELECT word, n FROM wc WHERE lang = '{JSD_LANG_A}') x
+      FULL OUTER JOIN (SELECT word, n FROM wc WHERE lang = '{JSD_LANG_B}') y
+        ON x.word = y.word
+    ),
+    t AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+                 CAST(SUM(b) AS BIGINT) AS tb FROM m),
+    terms AS (SELECT {term_a} AS tam, {term_b} AS tbm FROM m, t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words_union,
+           CAST(SUM(tam) + SUM(tbm) AS BIGINT) AS jsd_micro
+    FROM terms
+"""
+
+
 QUERIES = {
     "text_mixture_quota": q_text_mixture_quota,
     "text_bigram_nll": q_text_bigram_nll,
     "text_readability": q_text_readability,
+    "text_js_divergence": q_text_js_divergence,
 }
 
 ORACLES = {
     "text_mixture_quota": MIXTURE_QUOTA_SQL,
     "text_bigram_nll": _bigram_nll_sql(),
     "text_readability": READABILITY_SQL,
+    "text_js_divergence": _jsd_sql(),
 }

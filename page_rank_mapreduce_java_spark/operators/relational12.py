@@ -395,6 +395,241 @@ ASOF_NEAREST_SQL = """
 """
 
 
+# --- Pareto concentration -----------------------------------------------------
+
+
+def q_orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 concentration summary of customer revenue: how many
+    top customers cover ≥ 80% of total revenue, and the exact share
+    they hold. The threshold test is pure integer cross-multiplication
+    (5·cum ≥ 4·total), so k is exact; only the final share ppm divides.
+    Output: (n_customers, k_top, topk_cents, total_cents, share_ppm).
+
+    Scale shape: one fact aggregate to per-customer revenue, then the
+    sign-safe two-pass prefix-sum chassis (operators/ranking.
+    global_running_sum — range partition + per-partition window +
+    broadcast offsets, never a single-task global window), one 1-row
+    broadcast, one closing aggregate."""
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    rev = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("r"))
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("r").alias("total_cents")
+    )
+    cum = global_running_sum(
+        rev, "r", [F.desc("r"), F.asc("o_custkey")], out_col="cum"
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    covered = F.col("cum") * 5 >= F.col("total_cents") * 4
+    return j.groupBy("n_customers", "total_cents").agg(
+        (F.sum(F.when(~covered, 1).otherwise(0)) + 1).alias("k_top"),
+        F.min(F.when(covered, F.col("cum"))).alias("topk_cents"),
+    ).select(
+        "n_customers",
+        "k_top",
+        "topk_cents",
+        "total_cents",
+        F.round(
+            F.col("topk_cents").cast("double")
+            / F.col("total_cents").cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+PARETO_SQL = f"""
+    WITH rev AS (
+      SELECT o_custkey, CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS r
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(r) AS BIGINT) AS total_cents FROM rev),
+    c AS (
+      SELECT r, CAST(SUM(r) OVER (ORDER BY r DESC, o_custkey ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM rev
+    )
+    SELECT n_customers,
+           CAST(SUM(CASE WHEN cum * 5 < total_cents * 4 THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS k_top,
+           CAST(MIN(CASE WHEN cum * 5 >= total_cents * 4 THEN cum END)
+                AS BIGINT) AS topk_cents,
+           total_cents,
+           CAST(ROUND(CAST(MIN(CASE WHEN cum * 5 >= total_cents * 4
+                                    THEN cum END) AS DOUBLE)
+                      / CAST(total_cents AS DOUBLE) * 1e6, 0) AS BIGINT)
+             AS share_ppm
+    FROM c, t GROUP BY n_customers, total_cents
+"""
+
+
+# --- Markov entropy rate ------------------------------------------------------
+
+
+def q_events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain:
+    H = −Σ_{ij} (n_ij/N)·ln(n_ij/n_i·) — how predictable the next event
+    is given the current one (0 = deterministic flows, ln|types| =
+    uniform). Completes event_type_transitions / user_event_entropy.
+    Each transition's term uses the deterministic ln over INTEGER
+    arguments (ln(n_i·) − ln(n_ij)) and snaps to micro-nats before the
+    (bounded, |types|²-sized) sum; one terminal division by N.
+    Output: (n_transitions, entropy_rate_micro).
+
+    Scale shape: the LEAD window partitions on user_id (high-cardinality
+    key); everything after runs on the |types|² transition relation."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    ni = tr.groupBy("src").agg(F.sum("nij").alias("ni"))
+    tot = tr.agg(F.sum("nij").alias("nn"))
+    term = (
+        f"CAST(ROUND(CAST(nij AS DOUBLE) * "
+        f"({ln_int_sql('ni', 'spark')} - {ln_int_sql('nij', 'spark')}) * 1e6, 0) "
+        f"AS BIGINT)"
+    )
+    terms = tr.join(F.broadcast(ni), "src").crossJoin(F.broadcast(tot)).select(
+        "nn", F.expr(term).alias("t_micro")
+    )
+    return terms.groupBy("nn").agg(F.sum("t_micro").alias("_ts")).select(
+        F.col("nn").alias("n_transitions"),
+        F.round(F.col("_ts").cast("double") / F.col("nn").cast("double"))
+        .cast("long")
+        .alias("entropy_rate_micro"),
+    )
+
+
+def _transition_entropy_sql() -> str:
+    term = (
+        f"CAST(ROUND(CAST(nij AS DOUBLE) * "
+        f"({ln_int_sql('ni', 'duckdb')} - {ln_int_sql('nij', 'duckdb')}) * 1e6, 0) "
+        f"AS BIGINT)"
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    tr AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS nij
+           FROM s WHERE dst IS NOT NULL GROUP BY 1, 2),
+    ni AS (SELECT src, CAST(SUM(nij) AS BIGINT) AS ni FROM tr GROUP BY 1),
+    t AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM tr),
+    terms AS (SELECT nn, {term} AS t_micro
+              FROM tr JOIN ni USING (src), t)
+    SELECT nn AS n_transitions,
+           CAST(ROUND(CAST(SUM(t_micro) AS DOUBLE) / CAST(nn AS DOUBLE), 0)
+                AS BIGINT) AS entropy_rate_micro
+    FROM terms GROUP BY nn
+"""
+
+
+# --- association lift ---------------------------------------------------------
+
+LIFT_BASKET_CAP = 40
+LIFT_TOP_K = 25
+
+
+def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 part pairs by LIFT — support counting (basket_pair_counts)
+    normalized by marginal popularity: lift = N·c_ab / (c_a·c_b), so a
+    pair of niche parts that always co-occur outranks two bestsellers
+    that co-occur by volume alone. The association-rule ranking metric.
+    lift_micro is one double expression over four exact integers,
+    identical on both engines; fully tie-broken LIMIT.
+
+    Scale shape: the basket_pair_counts chassis (order-key self-join,
+    basket-size cap bounding pair volume at Σ min(basket, cap)²); the
+    marginal relation is part-sized and joins back on the part keys;
+    N is a 1-row broadcast."""
+    items = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    keep = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") <= LIFT_BASKET_CAP)
+        .select("l_orderkey")
+    )
+    i = items.join(keep, "l_orderkey")
+    a, b = i.alias("a"), i.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    marg = i.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("c"))
+    nb = i.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("nb"))
+    lift = (
+        F.col("nb").cast("double")
+        * F.col("c_ab").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        * 1e6
+    )
+    return (
+        pairs.join(marg.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")), "p1")
+        .join(marg.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")), "p2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1", "p2", "c_ab",
+            F.round(lift).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), F.asc("p1"), F.asc("p2"))
+        .limit(LIFT_TOP_K)
+    )
+
+
+BASKET_LIFT_SQL = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    keep AS (SELECT l_orderkey FROM items GROUP BY 1
+             HAVING COUNT(*) <= {LIFT_BASKET_CAP}),
+    i AS (SELECT items.* FROM items JOIN keep USING (l_orderkey)),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM i a JOIN i b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    marg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+             FROM i GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM i)
+    SELECT p1, p2, c_ab,
+           CAST(ROUND(CAST(nb AS DOUBLE) * CAST(c_ab AS DOUBLE)
+                      / (CAST(m1.c AS DOUBLE) * CAST(m2.c AS DOUBLE)) * 1e6, 0)
+                AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN marg m1 ON pairs.p1 = m1.l_partkey
+    JOIN marg m2 ON pairs.p2 = m2.l_partkey, nb
+    ORDER BY lift_micro DESC, p1, p2 LIMIT {LIFT_TOP_K}
+"""
+
+
 QUERIES = {
     "orders_monthly_islands": q_orders_monthly_islands,
     "events_dow_residuals": q_events_dow_residuals,
@@ -402,6 +637,9 @@ QUERIES = {
     "agg_theil_nation": q_agg_theil_nation,
     "sketch_kmv_union": q_sketch_kmv_union,
     "join_asof_nearest": q_join_asof_nearest,
+    "orders_pareto_8020": q_orders_pareto_8020,
+    "events_transition_entropy": q_events_transition_entropy,
+    "basket_lift_pairs": q_basket_lift_pairs,
 }
 
 ORACLES = {
@@ -411,4 +649,7 @@ ORACLES = {
     "agg_theil_nation": _theil_sql(),
     "sketch_kmv_union": _kmv_union_sql(),
     "join_asof_nearest": ASOF_NEAREST_SQL,
+    "orders_pareto_8020": PARETO_SQL,
+    "events_transition_entropy": _transition_entropy_sql(),
+    "basket_lift_pairs": BASKET_LIFT_SQL,
 }

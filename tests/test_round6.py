@@ -193,6 +193,116 @@ def test_readability_covers_all_docs(spark, sf_dir):
         assert r.words_per_sent_milli > 0 or r.words_per_sent_milli == -1
 
 
+def test_pareto_8020_brute_force(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.money import cents
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_orders_pareto_8020,
+    )
+
+    r = q_orders_pareto_8020(spark, sf_dir).collect()[0]
+    revs = sorted(
+        (
+        row.r
+        for row in load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("r"))
+        .collect()
+        ),
+        reverse=True,
+    )
+    total = sum(revs)
+    cum, k = 0, 0
+    for v in revs:
+        cum += v
+        k += 1
+        if cum * 5 >= total * 4:
+            break
+    assert (r.n_customers, r.k_top, r.topk_cents, r.total_cents) == (
+        len(revs), k, cum, total,
+    )
+    assert r.share_ppm >= 800_000
+
+
+def test_transition_entropy_bounds(spark, sf_dir):
+    import math
+
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_events_transition_entropy,
+    )
+
+    r = q_events_transition_entropy(spark, sf_dir).collect()[0]
+    assert 0 <= r.entropy_rate_micro <= math.log(5) * 1e6 + 1
+    assert r.n_transitions > 0
+
+
+def test_basket_lift_vs_brute_force(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        LIFT_BASKET_CAP,
+        q_basket_lift_pairs,
+    )
+    from page_rank_mapreduce_java_spark.catalog import load_table
+
+    rows = q_basket_lift_pairs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    lifts = [r.lift_micro for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    baskets: dict[int, set[int]] = {}
+    for r in (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    baskets = {k: v for k, v in baskets.items() if len(v) <= LIFT_BASKET_CAP}
+    nb = len(baskets)
+    top = rows[0]
+    c_ab = sum(1 for v in baskets.values() if top.p1 in v and top.p2 in v)
+    c1 = sum(1 for v in baskets.values() if top.p1 in v)
+    c2 = sum(1 for v in baskets.values() if top.p2 in v)
+    assert top.c_ab == c_ab >= 2
+    assert top.lift_micro == round(nb * c_ab / (c1 * c2) * 1e6)
+
+
+def test_jsd_bounds_and_float_agreement(spark, sf_dir):
+    import math
+
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.text_queries3 import (
+        JSD_LANG_A,
+        JSD_LANG_B,
+        q_text_js_divergence,
+    )
+    from page_rank_mapreduce_java_spark.functions.textfn import words
+
+    r = q_text_js_divergence(spark, sf_dir).collect()[0]
+    assert 0 <= r.jsd_micro <= math.log(2) * 1e6 + 1
+    # float recomputation (independent path) within micro-rounding noise
+    d = load_table(spark, "documents", sf_dir)
+    counts: dict[str, dict[str, int]] = {JSD_LANG_A: {}, JSD_LANG_B: {}}
+    for row in (
+        d.filter(F.col("lang").isin(JSD_LANG_A, JSD_LANG_B))
+        .select("lang", F.explode(words(F.col("text"))).alias("w"))
+        .collect()
+    ):
+        counts[row.lang][row.w] = counts[row.lang].get(row.w, 0) + 1
+    pa, pb = counts[JSD_LANG_A], counts[JSD_LANG_B]
+    ta, tb = sum(pa.values()), sum(pb.values())
+    vocab = set(pa) | set(pb)
+    assert r.n_words_union == len(vocab)
+    jsd = 0.0
+    for w in vocab:
+        a, b = pa.get(w, 0), pb.get(w, 0)
+        p, q = a / ta, b / tb
+        m = (p + q) / 2
+        if a:
+            jsd += p * math.log(p / m) / 2
+        if b:
+            jsd += q * math.log(q / m) / 2
+    assert abs(r.jsd_micro / 1e6 - jsd) < 1e-3
+
+
 def test_rvid_container_roundtrip():
     from page_rank_mapreduce_java_spark.multimodal.videofp import (
         _decode_rvid,
