@@ -65,6 +65,20 @@ QUERIES_UNDER_TEST = [
     # two doubles rides IEEE — surveil like the corr family
     "agg_median",
     "agg_p90_by_type",
+    # round-6: the corr family moved onto exact integer sufficient
+    # statistics and the ln-based scores onto the shared deterministic
+    # ln (ln_int_sql), so these are invariant BY CONSTRUCTION — kept
+    # under surveillance to pin that contract (plus the two-direction
+    # as-of arbitration, the prefix-sum Pareto cut, and the XOR-combined
+    # video fingerprint's Python leg)
+    "agg_theil_nation",
+    "events_transition_entropy",
+    "text_js_divergence",
+    "text_bigram_nll",
+    "graph_adamic_adar",
+    "join_asof_nearest",
+    "orders_pareto_8020",
+    "mm_video_fingerprint",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
