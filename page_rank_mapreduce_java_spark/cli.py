@@ -76,6 +76,25 @@ def _build_parser() -> argparse.ArgumentParser:
     )
 
     sub.add_parser("list-queries", help="list all registered query names")
+
+    sq = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL over the table catalog (tables registered "
+        "as views: region nation customer supplier part orders lineitem "
+        "events documents embeddings)",
+    )
+    sq.add_argument("statement", help="a single SQL statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--output", default=None, help="parquet output dir (default: show)")
+    sq.add_argument("--show", type=int, default=20)
+
+    ex = sub.add_parser(
+        "explain",
+        help="print the formatted physical plan of a registered query "
+        "(the audit surface PLANS.md rows come from)",
+    )
+    ex.add_argument("name", help="query name (see list-queries)")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     return p
 
 
@@ -257,6 +276,27 @@ def main(argv: list[str] | None = None) -> int:
             print(f"query {args.name}: -> {args.output}")
         else:
             df.show(args.show, truncate=False)
+    elif args.cmd == "sql":
+        # The user-facing escape hatch the reference never had: the full
+        # Spark SQL surface over the cataloged tables (views carry the
+        # catalog's type normalizations, e.g. the ns-timestamp decode).
+        from page_rank_mapreduce_java_spark.catalog import register_views
+
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.statement)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"sql: -> {args.output}")
+        else:
+            df.show(args.show, truncate=False)
+    elif args.cmd == "explain":
+        registry = _registry()
+        if args.name not in registry:
+            print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+            return 1
+        from page_rank_mapreduce_java_spark.plans.explain import formatted_plan
+
+        print(formatted_plan(registry[args.name](spark, args.sf_dir)))
     return 0
 
 

@@ -582,7 +582,11 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_ab") >= 2)
     )
     marg = i.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("c"))
-    nb = i.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("nb"))
+    # keep already holds exactly one row per surviving basket — count it
+    # directly instead of re-distincting the item relation (one fewer
+    # fact-scale shuffle; persisting the shared subtree was A/B'd and
+    # LOST, 2.75 vs 2.42 s at sf0.1 — the r4/r5 reuse lesson holds).
+    nb = keep.agg(F.count(F.lit(1)).alias("nb"))
     lift = (
         F.col("nb").cast("double")
         * F.col("c_ab").cast("double")

@@ -83,3 +83,57 @@ def test_dedup_cli_end_to_end(spark, tmp_path):
     assert main(["dedup", "--input", src, "--method", "phash", "--output", out_ph]) == 0
     keepers = {r.doc_id for r in spark.read.parquet(out_ph).collect()}
     assert 10 in keepers and 11 not in keepers
+
+
+def test_sql_subcommand_runs_over_catalog(spark, tmp_path, capsys):
+    out = str(tmp_path / "sqlres")
+    assert (
+        main(
+            [
+                "sql",
+                "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+                "GROUP BY 1 ORDER BY 1",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+                "--output",
+                out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out).collect()
+    assert {r.l_returnflag for r in rows} == {"A", "N", "R"}
+    assert sum(r.n for r in rows) > 0
+
+
+def test_sql_subcommand_reads_events_through_catalog(capsys):
+    # events.parquet is TIMESTAMP(NANOS): only readable through the
+    # catalog views — this pins that the sql path uses them.
+    assert (
+        main(
+            [
+                "sql",
+                "SELECT COUNT(*) AS n FROM events WHERE ts IS NOT NULL",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+            ]
+        )
+        == 0
+    )
+    assert "1000" in capsys.readouterr().out
+
+
+def test_explain_subcommand_prints_physical_plan(capsys):
+    assert (
+        main(
+            [
+                "explain",
+                "scan_filter_project",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out or "WholeStageCodegen" in out
