@@ -899,7 +899,109 @@ def _containment_sql() -> str:
 """
 
 
+# --- incremental dedup (new batch vs existing index) --------------------------
+
+
+def _band_relation(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) LSH band buckets of a signature relation —
+    the q_dedup_minhash_lsh_pairs banding, factored for reuse."""
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+    bands = None
+    for j in range(LSH_BANDS):
+        cols = [
+            F.col(f"mh{j * rows_per_band + k}").cast("string")
+            for k in range(rows_per_band)
+        ]
+        b = sig.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.md5(F.concat_ws(",", *cols)).alias("bh"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    return bands
+
+
+def q_dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the shape a 100 TB production corpus
+    actually runs: a NEW batch (here: the doc_id upper half) dedups
+    against the EXISTING index (lower half) without ever re-pairing the
+    index with itself. A new doc is kept iff none of its LSH band
+    buckets collide with (a) any index doc or (b) any earlier-arriving
+    new doc (arrival = doc_id order — the greedy first-wins keeper
+    convention, non-recursive so both engines agree without iteration).
+    Output: (doc_id) of admitted new docs.
+
+    Scale shape: signatures once over the whole corpus (one shingle
+    pass); collision detection is two LEFT SEMI equi-joins on the
+    (band, bh) key — index-vs-new volume tracks collision volume, and
+    the index side never self-joins (the entire point: incremental cost
+    is O(new batch), not O(corpus²))."""
+    d = load_table(spark, "documents", sf_dir)
+    # integer div, not /: float halving + CAST would truncate on Spark
+    # but round on DuckDB at an odd midpoint
+    split = d.agg(F.max("doc_id").alias("_mx"), F.min("doc_id").alias("_mn")).select(
+        F.expr("(_mx + _mn + 1) div 2").alias("split")
+    )
+    sig = _maybe_persist(_signatures(spark, sf_dir))
+    bands = _band_relation(sig)
+    # Index docs all sort BELOW the split, so "collides with the index
+    # OR an earlier new doc" is ONE rule — collides with ANY smaller
+    # doc_id — and one semi-join instead of two + a union (the first
+    # cut's three-way band fan-out compiled to 44 static exchanges).
+    x = (
+        bands.crossJoin(F.broadcast(split))
+        .filter(F.col("doc_id") >= F.col("split"))
+        .select("doc_id", "band", "bh")
+        .alias("x")
+    )
+    y = bands.alias("y")
+    dropped = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bh") == F.col("y.bh"))
+        & (F.col("y.doc_id") < F.col("x.doc_id")),
+        "left_semi",
+    ).select("doc_id")
+    return (
+        sig.crossJoin(F.broadcast(split))
+        .filter(F.col("doc_id") >= F.col("split"))
+        .select("doc_id")
+        .join(dropped, "doc_id", "left_anti")
+    )
+
+
+def _incremental_sql() -> str:
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+    band_selects = []
+    for j in range(LSH_BANDS):
+        concat = " || ',' || ".join(
+            f"CAST(mh{j * rows_per_band + k} AS VARCHAR)"
+            for k in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {j} AS band, md5({concat}) AS bh FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH sig AS ({_signatures_sql()}),
+        sp AS (SELECT (MAX(doc_id) + MIN(doc_id) + 1) // 2 AS split
+               FROM documents),
+        bands AS ({bands}),
+        dropped AS (
+          SELECT DISTINCT n.doc_id FROM bands n, sp
+          WHERE n.doc_id >= split
+            AND EXISTS (SELECT 1 FROM bands p
+                        WHERE p.band = n.band AND p.bh = n.bh
+                          AND p.doc_id < n.doc_id)
+        )
+        SELECT doc_id FROM sig, sp
+        WHERE doc_id >= split
+          AND doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
 QUERIES = {
+    "dedup_incremental_new_docs": q_dedup_incremental_new_docs,
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -936,4 +1038,5 @@ ORACLES = {
     "dq_label_noise": _label_noise_sql(),
     "dedup_minhash_jaccard_est": _jaccard_est_sql(),
     "dedup_ngram_containment": _containment_sql(),
+    "dedup_incremental_new_docs": _incremental_sql(),
 }

@@ -303,6 +303,56 @@ def test_jsd_bounds_and_float_agreement(spark, sf_dir):
     assert abs(r.jsd_micro / 1e6 - jsd) < 1e-3
 
 
+def test_incremental_dedup_vs_brute_force(spark, sf_dir):
+    """The greedy first-wins admission rule replicated in plain Python
+    from the engine's own signatures: a new doc is admitted iff no band
+    bucket collides with the index or an earlier new doc."""
+    import hashlib
+
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.dedup.queries import (
+        _signatures,
+        q_dedup_incremental_new_docs,
+    )
+    from page_rank_mapreduce_java_spark.functions.hashes import (
+        LSH_BANDS,
+        NUM_MINHASH,
+    )
+
+    got = {r.doc_id for r in q_dedup_incremental_new_docs(spark, sf_dir).collect()}
+    sigs = {
+        r.doc_id: [r[f"mh{i}"] for i in range(NUM_MINHASH)]
+        for r in _signatures(spark, sf_dir).collect()
+    }
+    ids = load_table(spark, "documents", sf_dir).select("doc_id").collect()
+    lo = min(r.doc_id for r in ids)
+    hi = max(r.doc_id for r in ids)
+    split = (hi + lo + 1) // 2
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+
+    def buckets(doc):
+        out = set()
+        for j in range(LSH_BANDS):
+            key = ",".join(
+                str(sigs[doc][j * rows_per_band + k]) for k in range(rows_per_band)
+            )
+            out.add((j, hashlib.md5(key.encode()).hexdigest()))
+        return out
+
+    seen: set = set()
+    for doc in sorted(sigs):
+        if doc < split:
+            seen |= buckets(doc)
+    expect = set()
+    for doc in sorted(d for d in sigs if d >= split):
+        b = buckets(doc)
+        if not (b & seen):
+            expect.add(doc)
+        seen |= b
+    assert got == expect
+    assert expect and expect < {d for d in sigs if d >= split}
+
+
 def test_rvid_container_roundtrip():
     from page_rank_mapreduce_java_spark.multimodal.videofp import (
         _decode_rvid,
