@@ -101,6 +101,14 @@ HEADLINE = [
     "graph_closeness_sampled",
     "agg_p90_by_type",
     "ann_ivfpq_serve_topk",
+    # round 6 in-round registrations (the heavy members of the new
+    # surface, so the r7 gate covers them from day one)
+    "graph_adamic_adar",
+    "basket_lift_pairs",
+    "orders_pareto_8020",
+    "dedup_incremental_new_docs",
+    "mm_video_fp_pairs",
+    "text_js_divergence",
 ]
 
 # Queries whose first run triggers a one-time on-disk index build under

@@ -634,6 +634,65 @@ BASKET_LIFT_SQL = f"""
 """
 
 
+# --- moving order statistic ---------------------------------------------------
+
+
+def q_events_moving_median7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-row moving MEDIAN of event value per user — the
+    robust (outlier-immune) sibling of orders_centered_ma's moving
+    mean; the missing moving ORDER STATISTIC in the window family.
+    Values snap to integer micro-units first; the median is emitted
+    ×2 (`med2_micro` = sum of the two middle elements for even frames,
+    twice the middle for odd) so even-frame averaging stays in exact
+    integers on both engines. Output: (event_id, user_id, n_win,
+    med2_micro).
+
+    Scale shape: ONE keyed window (partition by user_id —
+    high-cardinality), bounded ±3-row frame; the in-frame sort touches
+    ≤ 7 elements per row. No global ordering anywhere."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1e6).cast("long").alias("vm"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.sort_array(F.collect_list("vm").over(w))
+    return (
+        e.withColumn("_arr", arr)
+        .select(
+            "event_id",
+            "user_id",
+            F.size("_arr").alias("n_win"),
+            F.expr(
+                "CASE WHEN size(_arr) % 2 = 1 "
+                "THEN 2 * element_at(_arr, CAST((size(_arr) + 1) div 2 AS INT)) "
+                "ELSE element_at(_arr, CAST(size(_arr) div 2 AS INT)) "
+                "   + element_at(_arr, CAST(size(_arr) div 2 + 1 AS INT)) END"
+            ).alias("med2_micro"),
+        )
+    )
+
+
+MOVING_MEDIAN_SQL = """
+    WITH v AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 1e6, 0) AS BIGINT) AS vm
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS INTEGER) AS n_win,
+           CAST(ROUND(median(vm) OVER w * 2, 0) AS BIGINT) AS med2_micro
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+"""
+
+
 QUERIES = {
     "orders_monthly_islands": q_orders_monthly_islands,
     "events_dow_residuals": q_events_dow_residuals,
@@ -644,6 +703,7 @@ QUERIES = {
     "orders_pareto_8020": q_orders_pareto_8020,
     "events_transition_entropy": q_events_transition_entropy,
     "basket_lift_pairs": q_basket_lift_pairs,
+    "events_moving_median7": q_events_moving_median7,
 }
 
 ORACLES = {
@@ -656,4 +716,5 @@ ORACLES = {
     "orders_pareto_8020": PARETO_SQL,
     "events_transition_entropy": _transition_entropy_sql(),
     "basket_lift_pairs": BASKET_LIFT_SQL,
+    "events_moving_median7": MOVING_MEDIAN_SQL,
 }

@@ -303,6 +303,39 @@ def test_jsd_bounds_and_float_agreement(spark, sf_dir):
     assert abs(r.jsd_micro / 1e6 - jsd) < 1e-3
 
 
+def test_moving_median_vs_brute_force(spark, sf_dir):
+    """7-row centered moving median replicated in plain Python per user."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_events_moving_median7,
+    )
+
+    got = {
+        r.event_id: (r.n_win, r.med2_micro)
+        for r in q_events_moving_median7(spark, sf_dir).collect()
+    }
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", F.round(F.col("value") * 1e6).cast("long").alias("vm")
+    )
+    by_user: dict[int, list] = {}
+    for r in e.collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.vm))
+    checked = 0
+    for _, rows in list(by_user.items())[:50]:
+        rows.sort()
+        for i, (_, eid, _vm) in enumerate(rows):
+            win = sorted(v for _, _, v in rows[max(0, i - 3) : i + 4])
+            n = len(win)
+            med2 = (
+                2 * win[(n - 1) // 2]
+                if n % 2 == 1
+                else win[n // 2 - 1] + win[n // 2]
+            )
+            assert got[eid] == (n, med2)
+            checked += 1
+    assert checked > 100
+
+
 def test_incremental_dedup_vs_brute_force(spark, sf_dir):
     """The greedy first-wins admission rule replicated in plain Python
     from the engine's own signatures: a new doc is admitted iff no band
