@@ -260,9 +260,14 @@ def q_mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by blocked pHash Hamming distance —
     image dedup on the SimHash pair chassis. Exact-duplicate documents
-    (same text → same image) must appear at hamming = 0."""
+    (same text → same image) must appear at hamming = 0.
+
+    The hash relation persists: 4 block branches × 2 self-join sides
+    would re-run the Python encode→decode→hash leg 8× (A/B r6:
+    1.29 → 0.93 s at sf0.1 — persist WINS for every multimodal pair
+    query because the recomputed subtree is Python, not JVM)."""
     d = load_table(spark, "documents", sf_dir)
-    return phash_pairs(bmp_phash(documents_to_bmp(d)))
+    return phash_pairs(bmp_phash(documents_to_bmp(d)).persist())
 
 
 def _basis_values_sql() -> str:

@@ -217,7 +217,9 @@ def q_mm_video_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 3) on the XOR-combined frame hashes. Exact-duplicate
     documents (same head → same frames) must appear at hamming 0."""
     d = load_table(spark, "documents", sf_dir)
-    fp = video_fingerprint(documents_to_video(d))
+    # persisted: the 8-way band fan-out re-runs the 4-frame Python leg
+    # otherwise (A/B r6: 4.79 -> 2.09 s at sf0.1)
+    fp = video_fingerprint(documents_to_video(d)).persist()
     return hamming_blocked_pairs(fp, "vfp", PHASH_BLOCKS, 16, PHASH_HAM_MAX)
 
 
