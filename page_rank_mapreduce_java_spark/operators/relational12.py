@@ -693,6 +693,259 @@ MOVING_MEDIAN_SQL = """
 """
 
 
+# --- Markov stationary distribution --------------------------------------------
+
+# 8 power iterations: the ppm-grain iterate is measured STATIONARY by
+# iteration 6 at both test SFs (the behavioral chain's spectral gap is
+# large — transition rows are near-uniform); 8 keeps margin while each
+# extra iteration costs one lineage-cut job per engine. A production
+# chain with a small spectral gap would raise this or add a fixpoint
+# probe like graph/pagerank's tol.
+MARKOV_ITERS = 8
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain by power iteration — where user sessions settle in the long
+    run (the PageRank idea applied to the behavioral transition matrix).
+    Transition probabilities snap to ppm integers; each of the 20
+    unrolled iterations is v'_j = ROUND(Σ_i v_i·p_ij / 1e6) — a sum of
+    ≤ |types| integer products, so every iterate is EXACT integer
+    arithmetic on both engines (the float matrix-power would be
+    summation-order-dependent). Output: (state, stationary_ppm).
+
+    Scale shape: one fact pass to the |types|² transition relation;
+    the 20 iterations run on |types|-sized relations (broadcast joins) —
+    the fact table is touched once."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    ni = tr.groupBy("src").agg(F.sum("nij").alias("ni"))
+    # Checkpoint the (tiny) transition matrix ONCE: without it every
+    # per-iteration job re-derives it from the fact table (20 fact
+    # scans), and the 20 unrolled joins compile into one 50-second-deep
+    # static plan. With lineage cut per superstep (the graph/pagerank
+    # convention) the fact table is touched once and each iteration is
+    # a |types|-row job.
+    p = (
+        tr.join(ni, "src")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.col("nij").cast("double") / F.col("ni").cast("double") * 1e6
+            )
+            .cast("long")
+            .alias("p_ppm"),
+        )
+        .localCheckpoint()
+    )
+    n_states = ni.select(F.count(F.lit(1)).alias("ns"))
+    v = ni.crossJoin(F.broadcast(n_states)).select(
+        F.col("src").alias("state"),
+        F.round(F.lit(1e6) / F.col("ns").cast("double")).cast("long").alias("v_ppm"),
+    )
+    for _ in range(MARKOV_ITERS):
+        v = (
+            v.join(F.broadcast(p), v["state"] == p["src"])
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.round(
+                    F.sum(F.col("v_ppm") * F.col("p_ppm")).cast("double") / 1e6
+                )
+                .cast("long")
+                .alias("v_ppm")
+            )
+            .localCheckpoint()
+        )
+    return v.select("state", F.col("v_ppm").alias("stationary_ppm"))
+
+
+def _markov_sql() -> str:
+    iters = "".join(
+        f""",
+    v{k + 1} AS (
+      SELECT p.dst AS state,
+             CAST(ROUND(CAST(SUM(v.v_ppm * p.p_ppm) AS DOUBLE) / 1e6, 0)
+                  AS BIGINT) AS v_ppm
+      FROM v{k} v JOIN p ON v.state = p.src GROUP BY 1
+    )"""
+        for k in range(MARKOV_ITERS)
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    tr AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS nij
+           FROM s WHERE dst IS NOT NULL GROUP BY 1, 2),
+    ni AS MATERIALIZED (SELECT src, CAST(SUM(nij) AS BIGINT) AS ni
+           FROM tr GROUP BY 1),
+    p AS MATERIALIZED (SELECT src, dst,
+                 CAST(ROUND(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE) * 1e6, 0)
+                      AS BIGINT) AS p_ppm
+          FROM tr JOIN ni USING (src)),
+    ns AS (SELECT COUNT(*) AS ns FROM ni),
+    v0 AS (SELECT src AS state,
+                  CAST(ROUND(1e6 / CAST(ns AS DOUBLE), 0) AS BIGINT) AS v_ppm
+           FROM ni, ns){iters}
+    SELECT state, v_ppm AS stationary_ppm FROM v{MARKOV_ITERS}
+"""
+
+
+# --- cohort lifetime value ------------------------------------------------------
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: customers grouped by FIRST-order month, each
+    cohort's revenue by month age (months since acquisition) — the
+    money sibling of events_retention_cohorts. Exact integer cents and
+    month indices end to end. Output: (cohort_month yyyymm, age_months,
+    revenue_cents, n_active_customers).
+
+    Scale shape: one aggregate to per-customer first month
+    (high-cardinality key), broadcast-joinable back onto orders; the
+    matrix is |months|² bounded."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(
+        F.min("midx").alias("c_midx"), F.min("ym").alias("cohort_month")
+    )
+    return (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_month", (F.col("midx") - F.col("c_midx")).alias("age_months"))
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+        )
+    )
+
+
+COHORT_LTV_SQL = f"""
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+             year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             {cents_sql('o_totalprice')} AS cents
+      FROM orders
+    ),
+    first AS (SELECT o_custkey, MIN(midx) AS c_midx, MIN(ym) AS cohort_month
+              FROM o GROUP BY 1)
+    SELECT cohort_month, CAST(midx - c_midx AS BIGINT) AS age_months,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active_customers
+    FROM o JOIN first USING (o_custkey)
+    GROUP BY 1, 2
+"""
+
+
+# --- duplicate-key audit --------------------------------------------------------
+
+_PK_AUDIT = (
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("nation", "n_nationkey"),
+    ("region", "r_regionkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+
+def q_dq_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness census across every cataloged table: rows,
+    distinct keys, and keys appearing more than once — the first data-
+    quality gate any ingest runs (joins silently fan out on duplicate
+    keys; this query is the canary). Output: (table_name, n_rows,
+    n_keys, n_dup_keys).
+
+    Scale shape: one count-distinct aggregate per table (map-side
+    combined), unioned into a 9-row relation."""
+    parts = []
+    for t, k in _PK_AUDIT:
+        d = load_table(spark, t, sf_dir)
+        g = d.groupBy(F.col(k)).agg(F.count(F.lit(1)).alias("_c"))
+        parts.append(
+            g.agg(
+                F.lit(t).alias("table_name"),
+                F.sum("_c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)).alias("n_dup_keys"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+DQ_PK_AUDIT_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_keys,
+        CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys
+        FROM (SELECT {k}, COUNT(*) AS c FROM {t} GROUP BY 1)"""
+    for t, k in _PK_AUDIT
+)
+
+
+# --- fulfillment-lag quantiles --------------------------------------------------
+
+
+def q_order_ship_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lag quantiles (p25/p50/p90, in days) per order
+    priority — the fulfillment-SLA profile. Lags are exact integer day
+    differences; F.percentile and DuckDB quantile_cont share the
+    PERCENTILE_CONT interpolation rule (the agg_percentiles_exact
+    precedent), with the interpolated value rounded to 2 decimals
+    identically. One join + one aggregate per priority group."""
+    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag_days"),
+    )
+    pct = F.percentile("lag_days", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(pct.alias("_p"))
+        .select(
+            "o_orderpriority",
+            F.round(F.element_at("_p", 1), 2).alias("p25"),
+            F.round(F.element_at("_p", 2), 2).alias("p50"),
+            F.round(F.element_at("_p", 3), 2).alias("p90"),
+        )
+    )
+
+
+SHIP_LAG_SQL = """
+    WITH j AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(lag_days, 0.25), 2) AS p25,
+           ROUND(quantile_cont(lag_days, 0.50), 2) AS p50,
+           ROUND(quantile_cont(lag_days, 0.90), 2) AS p90
+    FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
     "orders_monthly_islands": q_orders_monthly_islands,
     "events_dow_residuals": q_events_dow_residuals,
@@ -704,6 +957,10 @@ QUERIES = {
     "events_transition_entropy": q_events_transition_entropy,
     "basket_lift_pairs": q_basket_lift_pairs,
     "events_moving_median7": q_events_moving_median7,
+    "events_markov_stationary": q_events_markov_stationary,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
+    "dq_duplicate_key_audit": q_dq_duplicate_key_audit,
+    "order_ship_lag_quantiles": q_order_ship_lag_quantiles,
 }
 
 ORACLES = {
@@ -717,4 +974,8 @@ ORACLES = {
     "events_transition_entropy": _transition_entropy_sql(),
     "basket_lift_pairs": BASKET_LIFT_SQL,
     "events_moving_median7": MOVING_MEDIAN_SQL,
+    "events_markov_stationary": _markov_sql(),
+    "orders_cohort_ltv": COHORT_LTV_SQL,
+    "dq_duplicate_key_audit": DQ_PK_AUDIT_SQL,
+    "order_ship_lag_quantiles": SHIP_LAG_SQL,
 }

@@ -386,6 +386,85 @@ def test_incremental_dedup_vs_brute_force(spark, sf_dir):
     assert expect and expect < {d for d in sigs if d >= split}
 
 
+def test_markov_stationary_is_fixed_point(spark, sf_dir):
+    """The emitted distribution must (a) sum to ~1e6 and (b) be a fixed
+    point of one more ppm-matrix application (brute-forced in Python
+    from the same transition counts)."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_events_markov_stationary,
+    )
+    from pyspark.sql.window import Window as W
+
+    v = {r.state: r.stationary_ppm for r in q_events_markov_stationary(spark, sf_dir).collect()}
+    assert abs(sum(v.values()) - 1_000_000) <= len(v) * 2
+    e = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr: dict = {}
+    for r in (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        tr[(r.src, r.dst)] = r.n
+    ni = {}
+    for (s, _), n in tr.items():
+        ni[s] = ni.get(s, 0) + n
+    nxt = {}
+    for (s, d), n in tr.items():
+        p_ppm = round(n / ni[s] * 1e6)
+        nxt[d] = nxt.get(d, 0) + v[s] * p_ppm
+    nxt = {d: round(x / 1e6) for d, x in nxt.items()}
+    assert nxt == v
+
+
+def test_cohort_ltv_conserves_revenue(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.money import cents
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_orders_cohort_ltv,
+    )
+
+    rows = q_orders_cohort_ltv(spark, sf_dir).collect()
+    assert all(r.age_months >= 0 for r in rows)
+    total = (
+        load_table(spark, "orders", sf_dir)
+        .agg(F.sum(cents("o_totalprice")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.revenue_cents for r in rows) == total
+
+
+def test_dq_pk_audit_matches_table_counts(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        _PK_AUDIT,
+        q_dq_duplicate_key_audit,
+    )
+
+    got = {r.table_name: r for r in q_dq_duplicate_key_audit(spark, sf_dir).collect()}
+    assert set(got) == {t for t, _ in _PK_AUDIT}
+    for t, _k in _PK_AUDIT:
+        n = load_table(spark, t, sf_dir).count()
+        assert got[t].n_rows == n
+        assert got[t].n_dup_keys == 0  # fixture keys are clean
+        assert got[t].n_keys == n
+
+
+def test_ship_lag_quantiles_ordered(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational12 import (
+        q_order_ship_lag_quantiles,
+    )
+
+    rows = q_order_ship_lag_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p90
+
+
 def test_rvid_container_roundtrip():
     from page_rank_mapreduce_java_spark.multimodal.videofp import (
         _decode_rvid,
