@@ -1000,8 +1000,71 @@ def _incremental_sql() -> str:
     """
 
 
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method agreement census: how far the MinHash-LSH candidate
+    pair set and the SimHash pair set agree — the evaluation metric a
+    pipeline tracks when tuning either family (low agreement means the
+    methods see DIFFERENT near-dup structure: MinHash keys on shingle
+    overlap, SimHash on the word multiset). One row:
+    (n_lsh, n_simhash, n_both, jaccard_ppm of the two pair sets).
+
+    Scale shape: composes the two certified pair pipelines (each
+    bounded by collision volume) and reduces with one full-outer join
+    on the pair key + one aggregate — the comparison never touches the
+    corpus itself."""
+    lsh = q_dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    simp = q_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    j = (
+        lsh.withColumn("_l", F.lit(1))
+        .join(simp.withColumn("_s", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+    )
+    return j.agg(
+        F.sum(F.coalesce("_l", F.lit(0))).alias("n_lsh"),
+        F.sum(F.coalesce("_s", F.lit(0))).alias("n_simhash"),
+        F.sum(
+            F.when(F.col("_l").isNotNull() & F.col("_s").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("_l").isNotNull() & F.col("_s").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
+
+
+def _method_agreement_sql() -> str:
+    return f"""
+    WITH lsh AS MATERIALIZED ({_lsh_pairs_sql()}),
+    simp AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({SIMHASH_PAIRS_SQL})
+    ),
+    j AS (
+      SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+             COALESCE(l.doc_b, s.doc_b) AS doc_b,
+             CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_l,
+             CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_s
+      FROM lsh l FULL OUTER JOIN simp s
+        ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+    )
+    SELECT CAST(SUM(in_l) AS BIGINT) AS n_lsh,
+           CAST(SUM(in_s) AS BIGINT) AS n_simhash,
+           CAST(SUM(in_l * in_s) AS BIGINT) AS n_both,
+           CAST(ROUND(CAST(SUM(in_l * in_s) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) * 1e6, 0) AS BIGINT)
+             AS jaccard_ppm
+    FROM j
+"""
+
+
 QUERIES = {
     "dedup_incremental_new_docs": q_dedup_incremental_new_docs,
+    "dedup_method_agreement": q_dedup_method_agreement,
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
     "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -1039,4 +1102,5 @@ ORACLES = {
     "dedup_minhash_jaccard_est": _jaccard_est_sql(),
     "dedup_ngram_containment": _containment_sql(),
     "dedup_incremental_new_docs": _incremental_sql(),
+    "dedup_method_agreement": _method_agreement_sql(),
 }

@@ -179,12 +179,69 @@ RICH_CLUB_SQL = f"""
 """
 
 
+def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the degree distribution — the one-number hub
+    concentration complementing rich-club's per-threshold view (0 =
+    perfectly even graph, →1 = star). Exact integers end to end:
+    G = Σ(2i − n − 1)·d_(i) / (n·Σd) over degrees ranked ascending,
+    with the rank from the two-pass global ranking chassis
+    (operators/ranking.global_row_number — a node-sized relation still
+    never funnels through one task), one terminal division to ppm.
+    Output: (n_nodes, sum_degree, gini_ppm)."""
+    from page_rank_mapreduce_java_spark.operators.ranking import global_row_number
+
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    r = global_row_number(deg, [F.asc("d"), F.asc("id")], out_col="i")
+    tot = r.agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("sd"))
+    num = r.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n_nodes"),
+        F.first("sd").alias("sum_degree"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("d")).alias("_num"),
+    )
+    return num.select(
+        "n_nodes",
+        "sum_degree",
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("n_nodes").cast("double") * F.col("sum_degree").cast("double"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+DEGREE_GINI_SQL = f"""
+    WITH e AS MATERIALIZED ({COOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY 1),
+    r AS (SELECT d, CAST(row_number() OVER (ORDER BY d, id) AS BIGINT) AS i
+          FROM deg),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(d) AS BIGINT) AS sd FROM r)
+    SELECT n AS n_nodes, sd AS sum_degree,
+           CAST(ROUND(CAST(SUM((2 * i - n - 1) * d) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(sd AS DOUBLE)) * 1e6, 0)
+                AS BIGINT) AS gini_ppm
+    FROM r, t GROUP BY n, sd
+"""
+
+
 QUERIES = {
     "graph_adamic_adar": q_adamic_adar,
     "graph_rich_club": q_rich_club,
+    "graph_degree_gini": q_degree_gini,
 }
 
 ORACLES = {
     "graph_adamic_adar": _adamic_adar_sql(),
     "graph_rich_club": RICH_CLUB_SQL,
+    "graph_degree_gini": DEGREE_GINI_SQL,
 }

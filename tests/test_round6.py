@@ -386,6 +386,42 @@ def test_incremental_dedup_vs_brute_force(spark, sf_dir):
     assert expect and expect < {d for d in sigs if d >= split}
 
 
+def test_degree_gini_vs_brute_force(spark, sf_dir):
+    import math
+
+    from page_rank_mapreduce_java_spark.graph.linkpred import q_degree_gini
+    from page_rank_mapreduce_java_spark.graph.queries import cooccurrence_edges
+
+    r = q_degree_gini(spark, sf_dir).collect()[0]
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    degs = sorted(
+        row.d
+        for row in sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).collect()
+    )
+    n, sd = len(degs), sum(degs)
+    num = sum((2 * (i + 1) - n - 1) * d for i, d in enumerate(degs))
+    assert (r.n_nodes, r.sum_degree) == (n, sd)
+    assert r.gini_ppm == round(num / (n * sd) * 1e6)
+    assert 0 <= r.gini_ppm < 1_000_000
+
+
+def test_method_agreement_consistent_with_pair_sets(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.dedup.queries import (
+        q_dedup_method_agreement,
+        q_dedup_minhash_lsh_pairs,
+        q_dedup_simhash_pairs,
+    )
+
+    r = q_dedup_method_agreement(spark, sf_dir).collect()[0]
+    lsh = {(p.doc_a, p.doc_b) for p in q_dedup_minhash_lsh_pairs(spark, sf_dir).collect()}
+    simp = {(p.doc_a, p.doc_b) for p in q_dedup_simhash_pairs(spark, sf_dir).collect()}
+    assert (r.n_lsh, r.n_simhash, r.n_both) == (
+        len(lsh), len(simp), len(lsh & simp),
+    )
+    assert r.jaccard_ppm == round(len(lsh & simp) / len(lsh | simp) * 1e6)
+
+
 def test_markov_stationary_is_fixed_point(spark, sf_dir):
     """The emitted distribution must (a) sum to ~1e6 and (b) be a fixed
     point of one more ppm-matrix application (brute-forced in Python
