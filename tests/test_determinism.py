@@ -79,6 +79,11 @@ QUERIES_UNDER_TEST = [
     "join_asof_nearest",
     "orders_pareto_8020",
     "mm_video_fingerprint",
+    # round-6 late batch: integer power iteration (lineage-cut jobs),
+    # ranked-prefix Gini, and the moving order statistic
+    "events_markov_stationary",
+    "graph_degree_gini",
+    "events_moving_median7",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
