@@ -1,0 +1,64 @@
+"""Interleaved quiet-host re-measure for bench-flag adjudication.
+
+VERDICT r6 "what's wrong" #1: graph_closeness_sampled read 0.17 s in the
+r5 driver bench but 0.455 s in r6 (1.6x calibration-adjusted) with ZERO
+code changes to graph/centrality.py or graph/queries.py in round 6 — a
+load-sensitive sampled-BFS.  This harness settles ambient-vs-real by
+interleaving the flagged query with the bench calibration probe
+(bench._calibration_probe — constant JVM work) rep by rep, so host load
+hits both equally, then reports the probe-normalised median.  If the
+normalised time matches the r5-era ratio, the flag is ambient noise; a
+reproducible 2x+ under matched load means a real plan problem.
+
+Usage: python tools/remeasure.py <query> [reps=5] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    qname = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    import bench
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .appName("remeasure")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = entry.queries()[qname]
+
+    # warmup (JVM + file cache), untimed
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    bench._calibration_probe(spark)
+
+    q_times, probe_times = [], []
+    for _ in range(reps):
+        probe_times.append(bench._calibration_probe(spark))
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        q_times.append(time.monotonic() - t0)
+    q_med = statistics.median(q_times)
+    p_med = statistics.median(probe_times)
+    print(f"query   {qname}: reps={q_times}")
+    print(f"probe   : reps={probe_times}")
+    print(f"median  query={q_med:.3f}s probe={p_med:.3f}s ratio={q_med/p_med:.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
