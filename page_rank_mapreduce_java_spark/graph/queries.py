@@ -1026,12 +1026,15 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = n * F.col("_syy").cast("double") - sy * sy
     return agg.select(
         # zero degree variance (a regular graph — the sf0.001 fixture)
-        # leaves corr undefined: b·c is then EXACTLY 0 (integer math),
-        # try_divide yields NULL, and the sentinel −2·10⁶ (outside
+        # leaves corr undefined: b·c lands at 0 (the greatest() clamp
+        # absorbs the tiny negative cancellation can produce once the
+        # double-cast sums exceed 2^53 — ADVICE r6: DuckDB sqrt(negative)
+        # RAISES while Spark gives NaN), try_divide yields NULL, and the
+        # sentinel −2·10⁶ (outside
         # corr's ppm range) keeps the row NULL-free on both engines
         # (canonicalization policy, tools/canon_audit.py).
         F.coalesce(
-            F.round(F.try_divide(a, F.sqrt(b * c)) * 1e6).cast("long"),
+            F.round(F.try_divide(a, F.sqrt(F.greatest(b * c, F.lit(0.0)))) * 1e6).cast("long"),
             F.lit(-2_000_000),
         ).alias("assortativity_ppm")
     )
@@ -1041,8 +1044,11 @@ def corr_ppm_sql(x: str, y: str, alias: str, sentinel: int = -2_000_000) -> str:
     """DuckDB rendering of the exact-sufficient-statistic Pearson ppm:
     must be placed over a relation exposing integer columns ``x``/``y``;
     aggregates HUGEINT sums and applies the same terminal double
-    expression as the Spark side. NULLIF guards the zero-variance case
-    (DuckDB IEEE float division would give ±inf/NaN, not NULL)."""
+    expression as the Spark side. GREATEST(·, 0) clamps the tiny
+    negative that float cancellation can produce past 2^53 (DuckDB
+    sqrt(negative) raises OutOfRangeException; Spark would diverge to
+    NaN), and NULLIF guards the zero-variance case (DuckDB IEEE float
+    division would give ±inf/NaN, not NULL)."""
     sx, sy = f"CAST(SUM(CAST({x} AS HUGEINT)) AS DOUBLE)", f"CAST(SUM(CAST({y} AS HUGEINT)) AS DOUBLE)"
     sxx = f"CAST(SUM(CAST({x} AS HUGEINT) * CAST({x} AS HUGEINT)) AS DOUBLE)"
     sxy = f"CAST(SUM(CAST({x} AS HUGEINT) * CAST({y} AS HUGEINT)) AS DOUBLE)"
@@ -1052,8 +1058,8 @@ def corr_ppm_sql(x: str, y: str, alias: str, sentinel: int = -2_000_000) -> str:
     b = f"({n} * {sxx} - {sx} * {sx})"
     c = f"({n} * {syy} - {sy} * {sy})"
     return (
-        f"COALESCE(CAST(ROUND({a} / sqrt(NULLIF({b} * {c}, 0)) * 1e6, 0) "
-        f"AS BIGINT), {sentinel}) AS {alias}"
+        f"COALESCE(CAST(ROUND({a} / sqrt(NULLIF(GREATEST({b} * {c}, 0), 0)) "
+        f"* 1e6, 0) AS BIGINT), {sentinel}) AS {alias}"
     )
 
 

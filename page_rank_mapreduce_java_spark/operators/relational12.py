@@ -708,14 +708,14 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the first-order event-type Markov
     chain by power iteration — where user sessions settle in the long
     run (the PageRank idea applied to the behavioral transition matrix).
-    Transition probabilities snap to ppm integers; each of the 20
-    unrolled iterations is v'_j = ROUND(Σ_i v_i·p_ij / 1e6) — a sum of
+    Transition probabilities snap to ppm integers; each of the
+    MARKOV_ITERS (8) unrolled iterations is v'_j = ROUND(Σ_i v_i·p_ij / 1e6) — a sum of
     ≤ |types| integer products, so every iterate is EXACT integer
     arithmetic on both engines (the float matrix-power would be
     summation-order-dependent). Output: (state, stationary_ppm).
 
     Scale shape: one fact pass to the |types|² transition relation;
-    the 20 iterations run on |types|-sized relations (broadcast joins) —
+    the MARKOV_ITERS iterations run on |types|-sized relations (broadcast joins) —
     the fact table is touched once."""
     e = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -727,8 +727,8 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ni = tr.groupBy("src").agg(F.sum("nij").alias("ni"))
     # Checkpoint the (tiny) transition matrix ONCE: without it every
-    # per-iteration job re-derives it from the fact table (20 fact
-    # scans), and the 20 unrolled joins compile into one 50-second-deep
+    # per-iteration job re-derives it from the fact table (MARKOV_ITERS fact
+    # scans), and the unrolled joins compile into one 50-second-deep
     # static plan. With lineage cut per superstep (the graph/pagerank
     # convention) the fact table is touched once and each iteration is
     # a |types|-row job.

@@ -374,7 +374,7 @@ def q_corr_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = n * F.col(f"_syy{i}").cast("double") - sy * sy
         corrs.append(
             F.coalesce(
-                F.round(F.try_divide(a, F.sqrt(b * c)) * 1e6).cast("long"),
+                F.round(F.try_divide(a, F.sqrt(F.greatest(b * c, F.lit(0.0)))) * 1e6).cast("long"),
                 F.lit(-2_000_000),
             ).alias(f"_c{i}")
         )
@@ -1074,7 +1074,7 @@ def q_events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "lag",
         F.coalesce(
-            F.round(F.try_divide(a, F.sqrt(b * c)) * 1e6).cast("long"),
+            F.round(F.try_divide(a, F.sqrt(F.greatest(b * c, F.lit(0.0)))) * 1e6).cast("long"),
             F.lit(-2_000_000),
         ).alias("acf_ppm"),
         F.col("_n").alias("n_pairs"),

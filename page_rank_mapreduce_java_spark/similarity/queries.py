@@ -246,9 +246,15 @@ def _serve_index_dir(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     if os.path.exists(marker):
         return base
     tmp = f"{base}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
-    build(tmp)
-    with open(os.path.join(tmp, "_BUILT"), "w") as f:
-        f.write("ok\n")
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_BUILT"), "w") as f:
+            f.write("ok\n")
+    except BaseException:
+        # ADVICE r6: a build that dies mid-write must not strand a
+        # partial tmp index under /tmp/spark_graft_pq_index
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, base)
     except OSError:

@@ -12,6 +12,11 @@ without changing its per-copy statistics:
     digest) do NOT collide across copies — near-dup family structure is
     preserved within each copy, and candidate-pair volume scales ~10×
     like a real corpus, not ~100× like naive duplication would.
+  - customer/part/supplier: replicated with the SAME key offsets the
+    facts use (ADVICE r6: symlinking them unscaled left copies 1..N-1
+    of orders/lineitem with dangling FKs, so any dim-join smoke query
+    silently dropped (N-1)/N of the fact rows). Nation/region keys are
+    never offset, so the dims' *_nationkey columns stay valid.
   - everything else is symlinked (the smoke queries don't read it).
 
 Usage: python tools/make_scale_dir.py [src_sf_dir] [dst_dir] [factor]
@@ -70,12 +75,27 @@ def main() -> int:
               FROM read_parquet('{p("documents")}') CROSS JOIN range({factor}) t(i))
         TO '{p("documents", dst)}' (FORMAT PARQUET)
     """)
-    for t in ("region", "nation", "customer", "supplier", "part", "events",
-              "embeddings"):
+    for table, col, key_off in (
+        ("customer", "c_custkey", ck),
+        ("part", "p_partkey", pk),
+        ("supplier", "s_suppkey", sk),
+    ):
+        # a pre-fix run symlinked these; COPY through the symlink would
+        # try to write into the read-only testdata dir
+        if os.path.islink(p(table, dst)):
+            os.unlink(p(table, dst))
+        con.execute(f"""
+            COPY (SELECT {col} + i * {key_off} AS {col},
+                         * EXCLUDE ({col})
+                  FROM read_parquet('{p(table)}') CROSS JOIN range({factor}) t(i))
+            TO '{p(table, dst)}' (FORMAT PARQUET)
+        """)
+    for t in ("region", "nation", "events", "embeddings"):
         link = p(t, dst)
         if not os.path.exists(link):
             os.symlink(p(t), link)
-    for t in ("orders", "lineitem", "documents"):
+    for t in ("orders", "lineitem", "documents", "customer", "part",
+              "supplier"):
         n = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{p(t, dst)}')"
         ).fetchone()[0]
