@@ -143,24 +143,25 @@ DECODED_SCHEMA = (
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode payload headers into typed columns (Arrow-batched)."""
 
+    # iterrows() materializes a Series per row (measured 2-5x tax on the
+    # fingerprint legs, PERF.md r6); columnar .tolist() + list
+    # comprehensions keep the Python work to the decode itself.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                w, h, sr, dur = _decode_payload(bytes(r["payload"]))
-                out.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "width": w,
-                        "height": h,
-                        "sample_rate": sr,
-                        "duration_ms": dur,
-                        "payload_bytes": len(r["payload"]),
-                        "digest": hashlib.sha256(bytes(r["payload"])).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(out)
+            payloads = [bytes(p) for p in pdf["payload"].tolist()]
+            decoded = [_decode_payload(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].tolist(),
+                    "kind": pdf["kind"].tolist(),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "sample_rate": [d[2] for d in decoded],
+                    "duration_ms": [d[3] for d in decoded],
+                    "payload_bytes": [len(p) for p in payloads],
+                    "digest": [hashlib.sha256(p).hexdigest() for p in payloads],
+                }
+            )
 
     return df.mapInPandas(run, DECODED_SCHEMA)
 
@@ -170,14 +171,19 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     real embedding model; same Arrow plumbing, same output schema)."""
     schema = f"media_id LONG, feature ARRAY<FLOAT>"
 
+    idx = [i % 32 for i in range(dim)]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, r in pdf.iterrows():
-                d = hashlib.sha256(bytes(r["payload"])).digest()
-                vec = [(d[i % 32] - 128) / 128.0 for i in range(dim)]
-                feats.append({"media_id": r["media_id"], "feature": vec})
-            yield pd.DataFrame(feats)
+            digests = [
+                hashlib.sha256(bytes(p)).digest() for p in pdf["payload"].tolist()
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].tolist(),
+                    "feature": [[(d[i] - 128) / 128.0 for i in idx] for d in digests],
+                }
+            )
 
     return df.mapInPandas(run, schema)
 
@@ -245,23 +251,31 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            kinds = pdf["kind"].tolist()
+            widths, heights, payloads = [], [], []
+            for kind, raw in zip(kinds, pdf["payload"].tolist()):
+                payload = bytes(raw)
                 w, h, sr, dur = _decode_payload(payload)
-                if r["kind"] == "image" and payload[:2] == b"BM":
+                if kind == "image" and payload[:2] == b"BM":
                     payload = _encode_bmp(
                         _resize_nearest(_bmp_pixels(payload), target_w, target_h)
                     )
                     w, h = target_w, target_h
-                elif r["kind"] == "image" and payload[:4] == _MAGIC:
+                elif kind == "image" and payload[:4] == _MAGIC:
                     w, h = target_w, target_h
                     payload = _MAGIC + struct.pack("<iiiq", w, h, sr, dur) + payload[24:]
-                out.append(
-                    {"media_id": r["media_id"], "kind": r["kind"],
-                     "width": w, "height": h, "payload": payload}
-                )
-            yield pd.DataFrame(out)
+                widths.append(w)
+                heights.append(h)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].tolist(),
+                    "kind": kinds,
+                    "width": widths,
+                    "height": heights,
+                    "payload": payloads,
+                }
+            )
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
@@ -306,35 +320,43 @@ def audio_window_features(df: DataFrame, window_ms: int = 100) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            cols = {
+                "media_id": [], "window_idx": [], "n_samples": [], "rms": [],
+                "peak": [], "zero_crossings": [],
+            }
+            for mid, raw in zip(pdf["media_id"].tolist(), pdf["payload"].tolist()):
+                payload = bytes(raw)
                 if payload[:4] != b"RIFF":
                     continue
                 _w, _h, sr, _dur = _decode_payload(payload)
                 mono = _wav_samples(payload)[:, 0].astype(np.int64)
                 step = max(1, sr * window_ms // 1000)
-                for widx in range(math.ceil(len(mono) / step)):
-                    chunk = mono[widx * step : (widx + 1) * step]
-                    out.append(
-                        {
-                            "media_id": r["media_id"],
-                            "window_idx": widx,
-                            "n_samples": len(chunk),
-                            "rms": int(math.isqrt(int((chunk * chunk).sum()) // len(chunk))),
-                            "peak": int(np.abs(chunk).max()),
-                            "zero_crossings": int(
-                                ((chunk[:-1] >= 0) != (chunk[1:] >= 0)).sum()
-                            ),
-                        }
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "window_idx", "n_samples", "rms", "peak",
-                    "zero_crossings",
-                ],
-            )
+                nwin = math.ceil(len(mono) / step)
+                starts = np.arange(nwin) * step
+                # all windows full-size except a possibly-short tail
+                n_samp = np.full(nwin, step, dtype=np.int64)
+                n_samp[-1] = len(mono) - starts[-1]
+                sq = np.add.reduceat(mono * mono, starts)
+                peak = np.maximum.reduceat(np.abs(mono), starts)
+                # zero crossings only between NEIGHBORS IN THE SAME WINDOW
+                # (the per-chunk semantics of the original loop): pair i is
+                # (sample i, i+1); keep pairs whose two ends share a window.
+                sign = mono >= 0
+                pair_idx = np.arange(len(mono) - 1)
+                same_win = (pair_idx // step) == ((pair_idx + 1) // step)
+                crossing = sign[:-1] != sign[1:]
+                zc = np.bincount(
+                    pair_idx[same_win & crossing] // step, minlength=nwin
+                )
+                cols["media_id"].extend([mid] * nwin)
+                cols["window_idx"].extend(range(nwin))
+                cols["n_samples"].extend(n_samp.tolist())
+                cols["rms"].extend(
+                    math.isqrt(int(s) // int(n)) for s, n in zip(sq, n_samp)
+                )
+                cols["peak"].extend(peak.tolist())
+                cols["zero_crossings"].extend(zc.tolist())
+            yield pd.DataFrame(cols)
 
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
