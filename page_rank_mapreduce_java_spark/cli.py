@@ -127,6 +127,7 @@ def full_registry() -> tuple[dict, dict]:
         relational10,
         relational11,
         relational12,
+        relational13,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -152,6 +153,7 @@ def full_registry() -> tuple[dict, dict]:
         relational10,
         relational11,
         relational12,
+        relational13,
         recommend,
         dedup_queries,
         sim_queries,

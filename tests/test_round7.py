@@ -1,0 +1,167 @@
+"""Round-7 additions, batch 1: inferential statistics (Welch t,
+Mann-Whitney U, WOE/IV, two-regressor OLS), grouped percentiles, IQR
+outlier audit, order backlog, YoY growth. Oracle parity is certified by
+tools/check_oracle.py / the driver gate; these tests pin the INVARIANTS
+the oracles can't express (conservation laws, estimator identities,
+closed-form-vs-numpy agreement)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_welch_t_sign_and_df_bounds(spark, sf_dir):
+    """t must carry the sign of (mean_R − mean_N); Welch–Satterthwaite
+    df lies in [min(n_a,n_b)−1, n_a+n_b−2]."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_welch_ttest_price_flag,
+    )
+
+    r = q_welch_ttest_price_flag(spark, sf_dir).collect()[0]
+    li = load_table(spark, "lineitem", sf_dir)
+    means = {
+        row.l_returnflag: row.m
+        for row in li.filter(F.col("l_returnflag").isin("R", "N"))
+        .groupBy("l_returnflag")
+        .agg(F.avg("l_extendedprice").alias("m"))
+        .collect()
+    }
+    diff = means["R"] - means["N"]
+    assert (r.t_micro > 0) == (diff > 0)
+    assert (min(r.n_a, r.n_b) - 1) * 1000 <= r.df_milli
+    assert r.df_milli <= (r.n_a + r.n_b - 2) * 1000
+
+
+def test_mannwhitney_u_identity(spark, sf_dir):
+    """U_a + U_b = n_a·n_b (×2 in the integral encoding), and each U is
+    within its range."""
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_mannwhitney_u_quantity,
+    )
+
+    r = q_mannwhitney_u_quantity(spark, sf_dir).collect()[0]
+    assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
+    assert 0 <= r.u2_a <= 2 * r.n_a * r.n_b
+
+
+def test_woe_iv_nonnegative_and_conserves(spark, sf_dir):
+    """Each band's IV contribution is ≥ 0 (sign(pct_good − pct_bad) =
+    sign(woe) by construction) and good/bad counts partition orders."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_woe_iv_price_bands,
+    )
+
+    rows = q_woe_iv_price_bands(spark, sf_dir).collect()
+    n_orders = load_table(spark, "orders", sf_dir).count()
+    assert sum(r.n_good + r.n_bad for r in rows) == n_orders
+    for r in rows:
+        if r.iv_micro is not None:
+            assert r.iv_micro >= -1  # rounding slack on an exact-0 band
+
+
+def test_ols2_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer closed form must agree with numpy's lstsq on the same
+    integer-snapped design matrix (micro-cent betas, 1e-3 tolerance —
+    both solve the identical normal equations)."""
+    import numpy as np
+
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_ols_price_qty_disc,
+    )
+
+    r = q_ols_price_qty_disc(spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            F.col("l_quantity").cast("long").alias("x1"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    A = np.array([[1.0, row.x1, row.x2] for row in rows])
+    y = np.array([float(row.y) for row in rows])
+    beta = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert abs(r.b0_micro / 1e6 - beta[0]) < max(1e-3 * abs(beta[0]), 1e-2)
+    assert abs(r.b1_micro / 1e6 - beta[1]) < max(1e-3 * abs(beta[1]), 1e-2)
+    assert abs(r.b2_micro / 1e6 - beta[2]) < max(1e-3 * abs(beta[2]), 1e-2)
+
+
+def test_percentiles_by_nation_ordered(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_agg_percentiles_by_nation,
+    )
+
+    rows = q_agg_percentiles_by_nation(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert sum(r.n_cust for r in rows) == load_table(
+        spark, "customer", sf_dir
+    ).count()
+    for r in rows:
+        assert r.median_bal <= r.p90_bal
+
+
+def test_iqr_outliers_bounded(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_dq_outlier_iqr_by_type,
+    )
+
+    rows = q_dq_outlier_iqr_by_type(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.q1 <= r.q3
+        # Tukey fences at 1.5·IQR can flag at most 25% of a sample on
+        # each side by Chebyshev-like bounds only loosely; pin the hard
+        # invariant instead: outliers are a strict subset.
+        assert 0 <= r.n_outliers < r.n
+
+
+def test_backlog_conserves_open_minus_closed(spark, sf_dir):
+    """The final prefix value equals (#orders) − (#orders with ≥1 line
+    item), i.e. orders that never ship stay open forever; and the day
+    column is unique."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_orders_open_backlog_daily,
+    )
+
+    rows = q_orders_open_backlog_daily(spark, sf_dir).collect()
+    days = [r.day for r in rows]
+    assert len(days) == len(set(days))
+    last = max(rows, key=lambda r: r.day)
+    n_orders = load_table(spark, "orders", sf_dir).count()
+    n_shipped = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(
+            load_table(spark, "orders", sf_dir),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert last.open_orders == n_orders - n_shipped
+
+
+def test_yoy_null_prefix_and_revenue_conserves(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.money import cents
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_orders_yoy_monthly_growth,
+    )
+
+    rows = sorted(
+        q_orders_yoy_monthly_growth(spark, sf_dir).collect(),
+        key=lambda r: (r.year, r.month),
+    )
+    assert all(r.yoy_ppm is None for r in rows[:12])
+    assert all(r.yoy_ppm is not None for r in rows[12:])
+    total = load_table(spark, "orders", sf_dir).agg(
+        F.sum(cents("o_totalprice"))
+    ).collect()[0][0]
+    assert sum(r.revenue_cents for r in rows) == total
