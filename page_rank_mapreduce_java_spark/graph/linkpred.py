@@ -234,14 +234,126 @@ DEGREE_GINI_SQL = f"""
 """
 
 
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 nodes by 2-hop reach: |{w ≠ u reachable in ≤ 2 hops}| —
+    the local influence-sphere size (the BFS-frontier statistic without
+    running BFS per node). Wedges route only through centers with
+    degree ≤ the hub cap (the common-neighbors convention — a hub
+    center would blow the wedge join quadratically AND mostly connect
+    already-adjacent nodes); direct neighbors always count. Output
+    (node, reach), ties broken on node id.
+
+    Scale shape: the wedge join shuffles on the center key with
+    Σ min(deg,cap)² volume; the distinct + count shuffle on the node
+    key; top-25 is TakeOrderedAndProject (no global window)."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    small = deg.filter(F.col("_deg") <= COMMON_NEIGHBORS_DEG_CAP)
+    thru = sym.join(small.select("src"), "src")  # center-capped
+    a = thru.select(F.col("src").alias("mid"), F.col("dst").alias("u"))
+    b = thru.select(F.col("src").alias("mid"), F.col("dst").alias("w"))
+    two = a.join(b, "mid").filter(F.col("u") != F.col("w")).select("u", "w")
+    reach = (
+        two.unionByName(sym.select(F.col("src").alias("u"), F.col("dst").alias("w")))
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("reach"))
+    )
+    return (
+        reach.orderBy(F.desc("reach"), F.asc("u"))
+        .limit(25)
+        .select(F.col("u").alias("node"), "reach")
+    )
+
+
+TWO_HOP_SQL = f"""
+    WITH e AS ({COOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY 1),
+    thru AS (
+      SELECT s.src, s.dst FROM sym s JOIN deg ON s.src = deg.src
+      WHERE deg.d <= {COMMON_NEIGHBORS_DEG_CAP}
+    ),
+    two AS (
+      SELECT a.dst AS u, b.dst AS w
+      FROM thru a JOIN thru b ON a.src = b.src
+      WHERE a.dst <> b.dst
+    ),
+    reach AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS reach FROM (
+        SELECT DISTINCT u, w FROM
+          (SELECT u, w FROM two UNION ALL SELECT src AS u, dst AS w FROM sym)
+      ) GROUP BY 1
+    )
+    SELECT u AS node, reach FROM reach ORDER BY reach DESC, node LIMIT 25
+"""
+
+
+def q_degree_mixing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-band mixing matrix: edge counts between log₂ degree
+    bands — the structural fingerprint behind assortativity (a single
+    coefficient can hide WHERE the mixing happens; the matrix shows
+    it). Bands are ⌊log₂ deg⌋ via integer bit-length, exact on both
+    engines. Output (band_lo, band_hi, n_edges) with band_lo ≤ band_hi
+    (undirected edges counted once).
+
+    Scale shape: degree aggregate shuffles on the node key; each edge
+    picks up its endpoints' bands via two joins on that same key;
+    output is a ≤ log²(max_deg) bounded matrix."""
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    band = (F.length(F.expr("bin(_deg)")) - 1).cast("long")
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .select(F.col("src").alias("node"), band.alias("band"))
+    )
+    j = (
+        e.join(deg.withColumnsRenamed({"node": "src", "band": "bs"}), "src")
+        .join(deg.withColumnsRenamed({"node": "dst", "band": "bd"}), "dst")
+    )
+    return (
+        j.groupBy(
+            F.least("bs", "bd").alias("band_lo"),
+            F.greatest("bs", "bd").alias("band_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+MIXING_SQL = f"""
+    WITH e AS ({COOC_EDGES_SQL}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (
+      SELECT src AS node,
+             CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS band
+      FROM sym GROUP BY 1
+    )
+    SELECT LEAST(a.band, b.band) AS band_lo,
+           GREATEST(a.band, b.band) AS band_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM e JOIN deg a ON e.src = a.node JOIN deg b ON e.dst = b.node
+    GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "graph_adamic_adar": q_adamic_adar,
     "graph_rich_club": q_rich_club,
     "graph_degree_gini": q_degree_gini,
+    "graph_two_hop_reach": q_two_hop_reach,
+    "graph_degree_mixing_matrix": q_degree_mixing_matrix,
 }
 
 ORACLES = {
     "graph_adamic_adar": _adamic_adar_sql(),
     "graph_rich_club": RICH_CLUB_SQL,
     "graph_degree_gini": DEGREE_GINI_SQL,
+    "graph_two_hop_reach": TWO_HOP_SQL,
+    "graph_degree_mixing_matrix": MIXING_SQL,
 }

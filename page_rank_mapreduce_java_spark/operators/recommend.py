@@ -62,6 +62,17 @@ def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pair-aggregation sizing: the candidate-pair stream is Σ basket² rows
+# — the ONE relation in this module that outgrows the session's shuffle
+# parallelism. The round-7 sf10 smoke (100× sf0.1 on one 8g JVM) OOMed
+# the pair sort's spill reader at 32 partitions (~2B pair rows / 32 per
+# task); partitioning the pair exchange by VOLUME instead bounds each
+# task's sort state regardless of corpus size. More partitions than
+# cores just queue — memory-bound sizing, not core-bound.
+REC_PAIR_ROWS_PER_PARTITION = 1_000_000
+REC_PAIR_MAX_PARTITIONS = 4096
+
+
 def item_item_topk(inter: DataFrame, k: int = REC_TOP_K) -> DataFrame:
     """Top-k neighbors per item by integer-exact cos² ranking, over
     pairs passing REC_MIN_SUPPORT (dot ≥ 2 — singleton co-occurrences
@@ -69,16 +80,38 @@ def item_item_topk(inter: DataFrame, k: int = REC_TOP_K) -> DataFrame:
 
     Returns DataFrame[item_id, neighbor_id, dot, cos2_micro] — both
     directions of each pair are ranked (a neighbor list per item)."""
+    spark = inter.sparkSession
     norms = inter.groupBy("item_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    # Volume-proportional pair partitioning (see REC_PAIR_* above): the
+    # explicit repartition on the pair key replaces (not adds to) the
+    # groupBy exchange — hash partitioning on exactly the grouping key
+    # satisfies the aggregate's distribution, so Catalyst elides its own
+    # shuffle. Map-side combine loses nothing: a pair's contributions
+    # come from different users, so same-key rows rarely co-locate
+    # pre-shuffle anyway.
+    pair_bound = inter.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("b")
+    ).agg(F.sum(F.col("b") * F.col("b"))).head()[0] or 0
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pair_parts = max(
+        cap,
+        min(
+            REC_PAIR_MAX_PARTITIONS,
+            -(-int(pair_bound) // REC_PAIR_ROWS_PER_PARTITION),
+        ),
+    )
     a, b = inter.alias("a"), inter.alias("b")
     dots = (
         a.join(b, "user_id")
         .filter(F.col("a.item_id") != F.col("b.item_id"))
-        .groupBy(
+        .select(
             F.col("a.item_id").alias("item_id"),
             F.col("b.item_id").alias("neighbor_id"),
+            (F.col("a.c") * F.col("b.c")).alias("cc"),
         )
-        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+        .repartition(pair_parts, "item_id", "neighbor_id")
+        .groupBy("item_id", "neighbor_id")
+        .agg(F.sum("cc").alias("dot"))
         .filter(F.col("dot") >= REC_MIN_SUPPORT)
     )
     scored = (

@@ -643,6 +643,414 @@ YOY_SQL = f"""
 """
 
 
+# --- nation revenue share -----------------------------------------------------
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total order revenue in
+    ppm — the classic contribution report. Output (n_name,
+    revenue_cents, share_ppm).
+
+    Scale shape: fact scan → 25-row bounded relation; the total rides
+    a broadcast 1-row cross join (never a global window over facts)."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    per = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"))
+    )
+    tot = per.agg(F.sum("revenue_cents").alias("tot"))
+    share = (
+        "CAST(ROUND(CAST(revenue_cents AS DOUBLE) * 1e6"
+        " / CAST(tot AS DOUBLE), 0) AS BIGINT)"
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "n_name", "revenue_cents", F.expr(share).alias("share_ppm")
+    )
+
+
+NATION_SHARE_SQL = f"""
+    WITH per AS (
+      SELECT n_name,
+             CAST(SUM({cents_sql("o_totalprice")}) AS BIGINT) AS revenue_cents
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(revenue_cents) AS tot FROM per)
+    SELECT n_name, revenue_cents,
+           CAST(ROUND(CAST(revenue_cents AS DOUBLE) * 1e6
+                / CAST(tot AS DOUBLE), 0) AS BIGINT) AS share_ppm
+    FROM per CROSS JOIN tot
+"""
+
+
+# --- rolling z-score ----------------------------------------------------------
+
+
+_ZSCORE = """
+    CAST(ROUND(
+      (CAST(c AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0)
+      / sqrt(NULLIF((7.0 * CAST(ss7 AS DOUBLE)
+                     - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) / 7.0 / 6.0,
+                    0.0))
+      * 1e6, 0) AS BIGINT)
+"""
+
+
+def q_events_rolling_zscore7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day z-score of daily event volume — the rolling
+    anomaly score. Only full 7-day windows emit; z NULL when the window
+    variance is zero. Output (day, c, z_micro).
+
+    Exactness: window sums of c and c² are integer; the z terminal is
+    ONE shared expression (module contract).
+
+    Scale shape: events reduce to the calendar-bounded day series
+    first; the trailing window runs on that bounded relation
+    (bounded-domain convention)."""
+    from page_rank_mapreduce_java_spark.operators.relational10 import (
+        _daily_counts,
+    )
+
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    d = (
+        daily.withColumn("s7", F.sum("c").over(w))
+        .withColumn("ss7", F.sum(F.col("c") * F.col("c")).over(w))
+        .withColumn("k7", F.count(F.lit(1)).over(w))
+        .filter(F.col("k7") == 7)
+    )
+    return d.select("day", "c", F.expr(_ZSCORE).alias("z_micro"))
+
+
+def _zscore_sql() -> str:
+    from page_rank_mapreduce_java_spark.operators.relational10 import (
+        _DAILY_SQL,
+    )
+
+    return f"""
+    WITH daily AS ({_DAILY_SQL}),
+    w AS (
+      SELECT day, c,
+             SUM(c) OVER win AS s7,
+             SUM(c * c) OVER win AS ss7,
+             COUNT(*) OVER win AS k7
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, c, {_ZSCORE} AS z_micro
+    FROM w WHERE k7 = 7
+"""
+
+
+# --- day-of-week x hour heatmap -----------------------------------------------
+
+
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume heatmap over (weekday, hour) — the 7×24 activity
+    fingerprint. weekday is ISO Monday=0 on both engines. Output
+    (dow, hour, cnt, share_ppm).
+
+    Scale shape: one partial-agg pass → 168-row bounded relation;
+    total via broadcast cross join."""
+    e = load_table(spark, "events", sf_dir)
+    per = e.groupBy(
+        F.expr("weekday(ts)").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.agg(F.sum("cnt").alias("tot"))
+    share = (
+        "CAST(ROUND(CAST(cnt AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE), 0)"
+        " AS BIGINT)"
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour", "cnt", F.expr(share).alias("share_ppm")
+    )
+
+
+DOW_HOUR_SQL = """
+    WITH per AS (
+      SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(cnt) AS tot FROM per)
+    SELECT dow, hour, cnt,
+           CAST(ROUND(CAST(cnt AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE), 0)
+                AS BIGINT) AS share_ppm
+    FROM per CROSS JOIN tot
+"""
+
+
+# --- multi-lag autocorrelation ------------------------------------------------
+
+
+_ACF_LAGS = [1, 2, 3, 7]
+
+_ACF_TERMINAL = """
+    COALESCE(CAST(ROUND(
+      try_divide(
+        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE),
+        sqrt(GREATEST(
+          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+          0.0)))
+      * 1e6, 0) AS BIGINT), -2000000)
+"""
+
+
+def q_events_acf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event volume at lags 1/2/3/7 — the ACF
+    panel behind seasonality diagnosis (lag-7 high + lag-1 low = weekly
+    structure). Pairs join on integer day index, so only days actually
+    present pair up (gap-robust). Output (lag, n, acf_ppm).
+
+    Exactness: the per-lag sufficient statistics are exact integer
+    sums; the Pearson terminal is the corr-family shared expression
+    (try_divide + GREATEST clamp — the ADVICE r6 zero-variance guard).
+
+    Scale shape: ONE day-series reduction feeds all four lags via an
+    explode; the pair join and stats run on the bounded day relation."""
+    from page_rank_mapreduce_java_spark.operators.relational10 import (
+        _daily_counts,
+    )
+
+    daily = _daily_counts(spark, sf_dir).select(
+        F.datediff("day", F.lit("1990-01-01").cast("date")).alias("didx"),
+        F.col("c"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _ACF_LAGS])).alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("didx").alias("didx2"), F.col("c").alias("c2")
+    )
+    pairs = a.join(b, a.didx + a.lag == b.didx2)
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("c2").alias("sy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("c2") * F.col("c2")).alias("syy"),
+        F.sum(F.col("c") * F.col("c2")).alias("sxy"),
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        F.expr(_ACF_TERMINAL).alias("acf_ppm"),
+    )
+
+
+# DuckDB rendering of the same terminal: try_divide(a, d) ≡
+# a / NULLIF(d, 0) — numerator, divisor, clamp, and rounding are the
+# identical double tree, only the null-on-zero spelling differs.
+_ACF_TERMINAL_DUCK = """
+    COALESCE(CAST(ROUND(
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / NULLIF(
+        sqrt(GREATEST(
+          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+          0.0)), 0.0)
+      * 1e6, 0) AS BIGINT), -2000000)
+"""
+
+
+def _acf_sql() -> str:
+    from page_rank_mapreduce_java_spark.operators.relational10 import (
+        _DAILY_SQL,
+    )
+
+    terminal = _ACF_TERMINAL_DUCK
+    return f"""
+    WITH daily0 AS ({_DAILY_SQL}),
+    daily AS (
+      SELECT datediff('day', DATE '1990-01-01', day) AS didx, c FROM daily0
+    ),
+    pairs AS (
+      SELECT l.lag, a.c AS c, b.c AS c2
+      FROM daily a
+        CROSS JOIN (SELECT unnest([{", ".join(map(str, _ACF_LAGS))}]) AS lag) l
+        JOIN daily b ON a.didx + l.lag = b.didx
+    ),
+    agg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(c) AS sx, SUM(c2) AS sy,
+             SUM(c * c) AS sxx, SUM(c2 * c2) AS syy, SUM(c * c2) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n, {terminal} AS acf_ppm
+    FROM agg
+"""
+
+
+# --- KMV intersection sketch --------------------------------------------------
+
+
+KMV_INTER_K = 256
+
+
+def q_sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between 'click' and 'view' via KMV
+    sketches and inclusion–exclusion: est(∩) = est(click) + est(view)
+    − est(∪) — the mergeable-sketch answer to "how many users do two
+    segments share" without an exact distinct join. Output one row
+    (est_click, est_view, est_union, est_intersection).
+
+    Deterministic (portable md5 hash family — the agg_kmv_distinct
+    estimator), so the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: one fact scan fans each row to its set and the union
+    set; one distinct shuffle on (set, hash); k-smallest per set rides
+    the two-pass global ranking chassis."""
+    from page_rank_mapreduce_java_spark.functions.hashes import md5_long
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    d = e.select(
+        F.explode(F.array(F.col("event_type"), F.lit("union"))).alias(
+            "set_name"
+        ),
+        md5_long(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    r = global_row_number(d, [F.asc("set_name"), F.asc("hv")], out_col="_grn")
+    off = r.groupBy("set_name").agg((F.min("_grn") - 1).alias("_off"))
+    kept = r.join(F.broadcast(off), "set_name").filter(
+        F.col("_grn") - F.col("_off") <= KMV_INTER_K
+    )
+    agg = kept.groupBy("set_name").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("hk")
+    )
+    est = F.when(F.col("n_kept") < KMV_INTER_K, F.col("n_kept")).otherwise(
+        F.round(
+            F.lit(float(KMV_INTER_K - 1))
+            * F.lit(float(2**60))
+            / F.col("hk").cast("double")
+        ).cast("long")
+    )
+    ests = agg.select("set_name", est.cast("long").alias("est"))
+    one = ests.agg(
+        F.max(F.when(F.col("set_name") == "click", F.col("est"))).alias(
+            "est_click"
+        ),
+        F.max(F.when(F.col("set_name") == "view", F.col("est"))).alias(
+            "est_view"
+        ),
+        F.max(F.when(F.col("set_name") == "union", F.col("est"))).alias(
+            "est_union"
+        ),
+    )
+    return one.select(
+        "est_click",
+        "est_view",
+        "est_union",
+        (F.col("est_click") + F.col("est_view") - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+    )
+
+
+def _kmv_inter_sql() -> str:
+    from page_rank_mapreduce_java_spark.functions.hashes import md5_long_sql
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH base AS (SELECT event_type, user_id FROM events
+                  WHERE event_type IN ('click', 'view')),
+    d AS (
+      SELECT DISTINCT set_name, hv FROM (
+        SELECT unnest(list_value(event_type, 'union')) AS set_name,
+               {h} AS hv
+        FROM base)
+    ),
+    ranked AS (
+      SELECT set_name, hv,
+             row_number() OVER (PARTITION BY set_name ORDER BY hv) AS pos
+      FROM d
+    ),
+    agg AS (
+      SELECT set_name, COUNT(*) AS n_kept, MAX(hv) AS hk
+      FROM ranked WHERE pos <= {KMV_INTER_K} GROUP BY set_name
+    ),
+    ests AS (
+      SELECT set_name,
+             CAST(CASE WHEN n_kept < {KMV_INTER_K} THEN n_kept
+                  ELSE CAST(ROUND({float(KMV_INTER_K - 1)} * {float(2**60)}
+                                 / CAST(hk AS DOUBLE), 0) AS BIGINT)
+                  END AS BIGINT) AS est
+      FROM agg
+    ),
+    one AS (
+      SELECT MAX(CASE WHEN set_name = 'click' THEN est END) AS est_click,
+             MAX(CASE WHEN set_name = 'view' THEN est END) AS est_view,
+             MAX(CASE WHEN set_name = 'union' THEN est END) AS est_union
+      FROM ests
+    )
+    SELECT est_click, est_view, est_union,
+           est_click + est_view - est_union AS est_intersection
+    FROM one
+"""
+
+
+# --- broadcast band range join ------------------------------------------------
+
+
+def q_join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding via a range join against a generated 10-row band
+    dimension (lo ≤ price < hi) — the broadcast theta-join pattern for
+    rating tables / tariff schedules that aren't equi-expressible in
+    general. Output (band, n_orders, revenue_cents).
+
+    Scale shape: the band dim broadcasts (BroadcastNestedLoopJoin over
+    10 rows ≈ a map-side predicate); the aggregate is partial. When a
+    schedule IS floor-expressible (like this demo's uniform bands) the
+    equi form is cheaper — the point here is the non-equi plan shape
+    staying broadcast, never a shuffled cartesian."""
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    o = load_table(spark, "orders", sf_dir)
+    j = o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+    )
+
+
+RANGE_BANDS_SQL = f"""
+    WITH bands AS (
+      SELECT i AS band, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+      FROM range(10) t(i)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM({cents_sql("o_totalprice")}) AS BIGINT) AS revenue_cents
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "welch_ttest_price_flag": q_welch_ttest_price_flag,
     "mannwhitney_u_quantity": q_mannwhitney_u_quantity,
@@ -652,6 +1060,12 @@ QUERIES = {
     "dq_outlier_iqr_by_type": q_dq_outlier_iqr_by_type,
     "orders_open_backlog_daily": q_orders_open_backlog_daily,
     "orders_yoy_monthly_growth": q_orders_yoy_monthly_growth,
+    "nation_revenue_share": q_nation_revenue_share,
+    "events_rolling_zscore7": q_events_rolling_zscore7,
+    "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+    "events_acf_multi": q_events_acf_multi,
+    "sketch_kmv_intersection": q_sketch_kmv_intersection,
+    "join_range_price_bands": q_join_range_price_bands,
 }
 
 ORACLES = {
@@ -663,4 +1077,10 @@ ORACLES = {
     "dq_outlier_iqr_by_type": IQR_OUTLIER_SQL,
     "orders_open_backlog_daily": BACKLOG_SQL,
     "orders_yoy_monthly_growth": YOY_SQL,
+    "nation_revenue_share": NATION_SHARE_SQL,
+    "events_rolling_zscore7": _zscore_sql(),
+    "events_dow_hour_heatmap": DOW_HOUR_SQL,
+    "events_acf_multi": _acf_sql(),
+    "sketch_kmv_intersection": _kmv_inter_sql(),
+    "join_range_price_bands": RANGE_BANDS_SQL,
 }

@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (round-7 sf10 smoke): a blanket high AQE
+        # initialPartitionNum was A/B-measured here and REJECTED — it
+        # cleared the rec_item_item_topk pair-sort OOM at 100× but
+        # regressed the sf0.1 headline set (dedup_clusters +62%,
+        # text_unigram_nll +49%: iterative/small shuffles pay 8× task
+        # overhead that AQE coalescing doesn't claw back). Volume-
+        # proportional partitioning lives at the heavy operators instead
+        # (graph/pagerank.py links sizing, recommend.py pair shuffle).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -148,6 +148,99 @@ def test_backlog_conserves_open_minus_closed(spark, sf_dir):
     assert last.open_orders == n_orders - n_shipped
 
 
+def test_nation_share_sums_to_million(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_nation_revenue_share,
+    )
+
+    rows = q_nation_revenue_share(spark, sf_dir).collect()
+    assert len(rows) == 25
+    # Rounded ppm shares sum to 1e6 within per-row rounding slack.
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_rolling_zscore_window_discipline(spark, sf_dir):
+    """First 6 days never emit; any emitted z is finite and the day's
+    count sits inside mean ± z·σ reconstruction by definition — pin
+    the weaker invariant |z| bounded by √6·1e6 (a point in a 7-sample
+    window is at most √(n−1) sample σs from the mean)."""
+    from page_rank_mapreduce_java_spark.operators.relational10 import (
+        _daily_counts,
+    )
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_events_rolling_zscore7,
+    )
+
+    rows = q_events_rolling_zscore7(spark, sf_dir).collect()
+    n_days = _daily_counts(spark, sf_dir).count()
+    assert len(rows) == n_days - 6
+    for r in rows:
+        if r.z_micro is not None:
+            assert abs(r.z_micro) <= 6**0.5 * 1e6 + 1
+
+
+def test_dow_hour_heatmap_partitions_events(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_events_dow_hour_heatmap,
+    )
+
+    rows = q_events_dow_hour_heatmap(spark, sf_dir).collect()
+    assert sum(r.cnt for r in rows) == load_table(
+        spark, "events", sf_dir
+    ).count()
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hour <= 23
+
+
+def test_acf_multi_lags_and_range(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        _ACF_LAGS,
+        q_events_acf_multi,
+    )
+
+    rows = {r.lag: r for r in q_events_acf_multi(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(_ACF_LAGS)
+    for r in rows.values():
+        assert -1_000_001 <= r.acf_ppm <= 1_000_001
+        assert r.n > 0
+
+
+def test_kmv_intersection_inclusion_exclusion(spark, sf_dir):
+    """est(click)+est(view) ≥ est(union) is NOT guaranteed by the
+    estimator, but the output must satisfy the reported identity, and
+    each individual estimate must be within 30% of the exact distinct
+    count at k=256 (3/√k ≈ 19% standard error)."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_sketch_kmv_intersection,
+    )
+
+    r = q_sketch_kmv_intersection(spark, sf_dir).collect()[0]
+    assert r.est_intersection == r.est_click + r.est_view - r.est_union
+    e = load_table(spark, "events", sf_dir)
+    for typ, est in (("click", r.est_click), ("view", r.est_view)):
+        exact = (
+            e.filter(F.col("event_type") == typ)
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert abs(est - exact) <= max(0.3 * exact, 5)
+
+
+def test_range_bands_partition_orders(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational13 import (
+        q_join_range_price_bands,
+    )
+
+    rows = q_join_range_price_bands(spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == load_table(
+        spark, "orders", sf_dir
+    ).count()
+
+
 def test_yoy_null_prefix_and_revenue_conserves(spark, sf_dir):
     from page_rank_mapreduce_java_spark.catalog import load_table
     from page_rank_mapreduce_java_spark.functions.money import cents
