@@ -347,11 +347,172 @@ def _jsd_sql() -> str:
 """
 
 
+# --- PMI keyword pairs --------------------------------------------------------
+
+PMI_VOCAB_K = 50
+PMI_MIN_CODOCS = 5
+PMI_TOP_PAIRS = 25
+
+
+def q_text_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 word pairs by pointwise mutual information over document
+    co-occurrence, restricted to the top-50 document-frequency
+    vocabulary — the keyword-association miner (which terms travel
+    together beyond chance). PMI = ln(n_ab·N) − ln(n_a·n_b) on integer
+    products through the deterministic ln (micro-nats, bit-identical
+    across engines); pairs below 5 co-documents never rank. Output
+    (w1, w2, n_ab, pmi_micro), w1 < w2.
+
+    Scale shape: doc×word distinct pairs filter against the BROADCAST
+    bounded vocabulary (≤50 rows) before the per-doc self-join, so
+    pair volume is ≤ C(50,2) per doc — bounded fan-out, never
+    vocab-quadratic over the corpus. Top-25 is TakeOrderedAndProject."""
+    d = load_table(spark, "documents", sf_dir)
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    dw = d.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    ).distinct()
+    df_counts = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # Top-k vocabulary via sort+limit (TakeOrderedAndProject — per-
+    # partition top-k then a driver-side merge of k·parts rows), never
+    # an unpartitioned row_number window over the full vocabulary.
+    vocab = (
+        df_counts.orderBy(F.desc("df"), F.asc("w"))
+        .limit(PMI_VOCAB_K)
+        .select("w", "df")
+    )
+    dv = dw.join(F.broadcast(vocab), "w")
+    a = dv.select("doc_id", F.col("w").alias("w1"), F.col("df").alias("df1"))
+    b = dv.select("doc_id", F.col("w").alias("w2"), F.col("df").alias("df2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.first("df1").alias("n_a"),
+            F.first("df2").alias("n_b"),
+        )
+        .filter(F.col("n_ab") >= PMI_MIN_CODOCS)
+    )
+    pmi = (
+        f"CAST(ROUND(({ln_int_sql('n_ab * n', 'spark')} - "
+        f"{ln_int_sql('n_a * n_b', 'spark')}) * 1e6, 0) AS BIGINT)"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select("w1", "w2", "n_ab", F.expr(pmi).alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_PAIRS)
+    )
+
+
+def _pmi_sql() -> str:
+    pmi = (
+        f"CAST(ROUND(({ln_int_sql('n_ab * n', 'duckdb')} - "
+        f"{ln_int_sql('n_a * n_b', 'duckdb')}) * 1e6, 0) AS BIGINT)"
+    )
+    return f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY 1),
+    vocab AS (
+      SELECT w, df FROM (
+        SELECT *, row_number() OVER (ORDER BY df DESC, w) AS rn FROM dfc
+      ) WHERE rn <= {PMI_VOCAB_K}
+    ),
+    dv AS (SELECT doc_id, w, df FROM dw JOIN vocab USING (w)),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_ab,
+             ANY_VALUE(a.df) AS n_a, ANY_VALUE(b.df) AS n_b
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_CODOCS}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT w1, w2, n_ab, {pmi} AS pmi_micro
+    FROM pairs CROSS JOIN tot
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT {PMI_TOP_PAIRS}
+"""
+
+
+# --- sentence statistics ------------------------------------------------------
+
+
+def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sentence-shape profile: sentence count, mean
+    sentence length in tokens and characters (milli-units) — the
+    segmentation sanity check before sentence-level dedup or packing.
+    Sentences split on [.!?]+ runs; whitespace-only fragments dropped.
+    Output (lang, n_docs, n_sentences, tok_per_sent_milli,
+    chars_per_sent_milli).
+
+    Exactness: token/char counts accumulate as integers; the two means
+    are single terminal divisions.
+
+    Scale shape: explode per document (fan-out bounded by document
+    length), one partial-agg pass to the bounded language relation."""
+    d = load_table(spark, "documents", sf_dir)
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), r"[.!?]+")).alias("frag"),
+    ).withColumn("sent", F.trim(F.col("frag"))).filter(F.length("sent") > 0)
+    per = s.groupBy("lang").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(F.size(F.split(F.col("sent"), r"\s+"))).alias("toks"),
+        F.sum(F.length("sent")).alias("chars"),
+    )
+    mean = (
+        "CAST(ROUND(CAST({num} AS DOUBLE) * 1e3"
+        " / CAST(n_sentences AS DOUBLE), 0) AS BIGINT)"
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_sentences",
+        F.expr(mean.format(num="toks")).alias("tok_per_sent_milli"),
+        F.expr(mean.format(num="chars")).alias("chars_per_sent_milli"),
+    )
+
+
+SENTENCE_STATS_SQL = r"""
+    WITH s AS (
+      SELECT doc_id, lang, trim(f) AS sent
+      FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(text, '[.!?]+')) AS f
+            FROM documents)
+      WHERE length(trim(f)) > 0
+    ),
+    per AS (
+      SELECT lang,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_sentences,
+             CAST(SUM(len(regexp_split_to_array(sent, '\s+'))) AS BIGINT)
+               AS toks,
+             CAST(SUM(length(sent)) AS BIGINT) AS chars
+      FROM s GROUP BY 1
+    )
+    SELECT lang, n_docs, n_sentences,
+           CAST(ROUND(CAST(toks AS DOUBLE) * 1e3
+                / CAST(n_sentences AS DOUBLE), 0) AS BIGINT)
+             AS tok_per_sent_milli,
+           CAST(ROUND(CAST(chars AS DOUBLE) * 1e3
+                / CAST(n_sentences AS DOUBLE), 0) AS BIGINT)
+             AS chars_per_sent_milli
+    FROM per
+"""
+
+
 QUERIES = {
     "text_mixture_quota": q_text_mixture_quota,
     "text_bigram_nll": q_text_bigram_nll,
     "text_readability": q_text_readability,
     "text_js_divergence": q_text_js_divergence,
+    "text_pmi_top_pairs": q_text_pmi_top_pairs,
+    "text_sentence_stats": q_text_sentence_stats,
 }
 
 ORACLES = {
@@ -359,4 +520,6 @@ ORACLES = {
     "text_bigram_nll": _bigram_nll_sql(),
     "text_readability": READABILITY_SQL,
     "text_js_divergence": _jsd_sql(),
+    "text_pmi_top_pairs": _pmi_sql(),
+    "text_sentence_stats": SENTENCE_STATS_SQL,
 }

@@ -611,6 +611,133 @@ def _ivfpq_topk_sql() -> str:
 """
 
 
+# --- int8 quantization profile ------------------------------------------------
+
+# Shared quantize/dequantize/error terminal over (v, lo, hi): symmetric
+# 255-level affine int8 (q ∈ [-127, 127]); reconstruction error snaps
+# to integer nano-units BEFORE summation (money convention in vector
+# space), so per-dim sums are order-independent on both engines.
+# Degenerate constant dims (hi = lo) quantize to 0 with zero error.
+_QUANT_Q = """
+    CAST(COALESCE(ROUND((CAST(v AS DOUBLE) - lo)
+                        / NULLIF(hi - lo, 0.0) * 254.0, 0) - 127.0, 0.0)
+         AS BIGINT)
+"""
+_QUANT_ERR_NANO = """
+    CAST(ROUND(abs(
+      CAST(v AS DOUBLE)
+      - (lo + (CAST(q AS DOUBLE) + 127.0) * (hi - lo) / 254.0)
+    ) * 1e9, 0) AS BIGINT)
+"""
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 quantization audit: affine-quantize every
+    embedding element to 255 levels over the dimension's [min, max]
+    and report the reconstruction-error profile — the calibration step
+    before shipping a quantized ANN index. Output per dim (64 rows):
+    (pos, lo_micro, hi_micro, sum_abs_err_nano, max_abs_err_nano).
+
+    Exactness: quantize/dequantize are shared terminal expressions;
+    errors accumulate as integer nano-units.
+
+    Scale shape: posexplode → per-dim min/max (bounded 64-row relation,
+    broadcast back) → one more pass for the error aggregate. At corpus
+    scale both passes are map-side-combined shuffles on the dim key."""
+    e = load_table(spark, "embeddings", sf_dir)
+    x = e.select(F.posexplode("embedding").alias("pos0", "x")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("v")
+    )
+    rng = x.groupBy("pos").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    scored = (
+        x.join(F.broadcast(rng), "pos")
+        .withColumn("q", F.expr(_QUANT_Q))
+        .withColumn("err", F.expr(_QUANT_ERR_NANO))
+    )
+    return scored.groupBy("pos").agg(
+        F.round(F.first("lo") * 1e6).cast("long").alias("lo_micro"),
+        F.round(F.first("hi") * 1e6).cast("long").alias("hi_micro"),
+        F.sum("err").alias("sum_abs_err_nano"),
+        F.max("err").alias("max_abs_err_nano"),
+    )
+
+
+QUANTIZE_SQL = f"""
+    WITH x AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    rng AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY 1),
+    quant AS (
+      SELECT pos, v, lo, hi, {_QUANT_Q} AS q
+      FROM x JOIN rng USING (pos)
+    ),
+    scored AS (SELECT pos, lo, hi, {_QUANT_ERR_NANO} AS err FROM quant)
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(ROUND(ANY_VALUE(lo) * 1e6, 0) AS BIGINT) AS lo_micro,
+           CAST(ROUND(ANY_VALUE(hi) * 1e6, 0) AS BIGINT) AS hi_micro,
+           CAST(SUM(err) AS BIGINT) AS sum_abs_err_nano,
+           CAST(MAX(err) AS BIGINT) AS max_abs_err_nano
+    FROM scored GROUP BY 1
+"""
+
+
+# --- norm distribution --------------------------------------------------------
+
+
+def q_embedding_norm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of embedding L2 norms (p25/p50/p75/p99 of ‖v‖², in
+    integer nano-units) — the drift/scale sanity check before cosine
+    vs dot-product decisions. Output one row.
+
+    Exactness: each element² snaps to nano-units before the per-vector
+    sum (order-independent integers — no float fold order to disagree
+    on); percentiles interpolate over integers identically.
+
+    Scale shape: posexplode → per-vector integer sum (shuffle on
+    vec_id) → a global percentile over one value per vector."""
+    e = load_table(spark, "embeddings", sf_dir)
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        F.round(
+            F.col("v").cast("double") * F.col("v").cast("double") * 1e9
+        ).cast("long").alias("e2"),
+    )
+    norms = x.groupBy("vec_id").agg(F.sum("e2").alias("n2_nano"))
+    pct = F.percentile(
+        "n2_nano",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99)),
+    )
+    return norms.agg(pct.alias("_p")).select(
+        F.round(F.element_at("_p", 1), 1).alias("p25"),
+        F.round(F.element_at("_p", 2), 1).alias("p50"),
+        F.round(F.element_at("_p", 3), 1).alias("p75"),
+        F.round(F.element_at("_p", 4), 1).alias("p99"),
+    )
+
+
+NORM_PCT_SQL = """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                        * CAST(unnest(embedding) AS DOUBLE) * 1e9, 0)
+                  AS BIGINT) AS e2
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SUM(e2) AS n2_nano FROM x GROUP BY 1)
+    SELECT ROUND(quantile_cont(n2_nano, 0.25), 1) AS p25,
+           ROUND(quantile_cont(n2_nano, 0.50), 1) AS p50,
+           ROUND(quantile_cont(n2_nano, 0.75), 1) AS p75,
+           ROUND(quantile_cont(n2_nano, 0.99), 1) AS p99
+    FROM norms
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_centroids": q_embedding_centroids,
@@ -623,11 +750,15 @@ QUERIES = {
     "ann_pq_serve_topk": q_ann_pq_serve_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_serve_topk": q_ann_ivfpq_serve_topk,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    "embedding_norm_percentiles": q_embedding_norm_percentiles,
 }
 
 _KMEANS_CTES, _KMEANS_FINAL = kmeans_sql(k=IVF_CENTROIDS, iters=KMEANS_ITERS)
 
 ORACLES = {
+    "embedding_quantize_int8": QUANTIZE_SQL,
+    "embedding_norm_percentiles": NORM_PCT_SQL,
     "embedding_centroids": """
         WITH x AS (
           SELECT label,

@@ -241,6 +241,102 @@ def test_range_bands_partition_orders(spark, sf_dir):
     ).count()
 
 
+def test_two_hop_reach_dominates_degree(spark, sf_dir):
+    """reach(u) ≥ deg(u) — direct neighbors always count — and reach
+    < n_nodes."""
+    from page_rank_mapreduce_java_spark.graph.linkpred import q_two_hop_reach
+    from page_rank_mapreduce_java_spark.graph.queries import (
+        cooccurrence_edges,
+    )
+
+    rows = q_two_hop_reach(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    e = cooccurrence_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = {r.src: r.d for r in sym.groupBy("src").agg(
+        F.count(F.lit(1)).alias("d")).collect()}
+    n_nodes = len(deg)
+    for r in rows:
+        assert deg[r.node] <= r.reach < n_nodes
+
+
+def test_mixing_matrix_conserves_edges(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.graph.linkpred import (
+        q_degree_mixing_matrix,
+    )
+    from page_rank_mapreduce_java_spark.graph.queries import (
+        cooccurrence_edges,
+    )
+
+    rows = q_degree_mixing_matrix(spark, sf_dir).collect()
+    assert sum(r.n_edges for r in rows) == cooccurrence_edges(
+        spark, sf_dir
+    ).count()
+    for r in rows:
+        assert r.band_lo <= r.band_hi
+
+
+def test_pmi_support_and_bound(spark, sf_dir):
+    """PMI ≤ ln(N/max(n_a,n_b)·N/n_ab)… pin the hard bound: pmi ≤
+    ln(N) (co-occurrence can't exceed either margin) and support ≥ 5."""
+    import math
+
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.text_queries3 import (
+        PMI_MIN_CODOCS,
+        q_text_pmi_top_pairs,
+    )
+
+    rows = q_text_pmi_top_pairs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    n = load_table(spark, "documents", sf_dir).count()
+    for r in rows:
+        assert r.w1 < r.w2
+        assert r.n_ab >= PMI_MIN_CODOCS
+        assert r.pmi_micro <= math.log(n) * 1e6 + 1
+
+
+def test_sentence_stats_cover_all_docs(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.text_queries3 import (
+        q_text_sentence_stats,
+    )
+
+    rows = q_text_sentence_stats(spark, sf_dir).collect()
+    total = load_table(spark, "documents", sf_dir).count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.n_sentences >= r.n_docs
+        assert r.tok_per_sent_milli > 0 and r.chars_per_sent_milli > 0
+
+
+def test_quantize_error_within_half_step(spark, sf_dir):
+    """Affine 254-step quantization's max error is half a step:
+    (hi−lo)/254/2, plus the nano-unit rounding grain."""
+    from page_rank_mapreduce_java_spark.similarity.queries import (
+        q_embedding_quantize_int8,
+    )
+
+    rows = q_embedding_quantize_int8(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        half_step_nano = (r.hi_micro - r.lo_micro) * 1e3 / 254.0 / 2.0
+        assert r.max_abs_err_nano <= half_step_nano + 2
+        assert 0 <= r.max_abs_err_nano
+        assert r.sum_abs_err_nano >= r.max_abs_err_nano
+
+
+def test_norm_percentiles_monotone(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.similarity.queries import (
+        q_embedding_norm_percentiles,
+    )
+
+    r = q_embedding_norm_percentiles(spark, sf_dir).collect()[0]
+    assert 0 < r.p25 <= r.p50 <= r.p75 <= r.p99
+
+
 def test_yoy_null_prefix_and_revenue_conserves(spark, sf_dir):
     from page_rank_mapreduce_java_spark.catalog import load_table
     from page_rank_mapreduce_java_spark.functions.money import cents
