@@ -109,7 +109,27 @@ HEADLINE = [
     "dedup_incremental_new_docs",
     "mm_video_fp_pairs",
     "text_js_divergence",
+    # round 7 in-round registrations (the heavy members: wedge-join
+    # reach, global prefix sum, PMI pair mining, triple-KMV sketch,
+    # two-pass quantization audit)
+    "graph_two_hop_reach",
+    "orders_open_backlog_daily",
+    "text_pmi_top_pairs",
+    "sketch_kmv_intersection",
+    "embedding_quantize_int8",
 ]
+
+# Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows
+# left ~190 registered queries with no timing evidence ever — a
+# mis-shaped plan on a non-headline query would never be caught by the
+# bench. Each round additionally times SLICE_SIZE registry queries
+# once (single pass, not medianed — this is smoke coverage, not the
+# regression gate), rotating deterministically: the rotation index is
+# the count of recorded driver rounds (BENCH_r*.json), so successive
+# rounds walk the whole registry without any state file. Slice rows
+# land in the JSON under "slice"/"slice_rotation" and never join
+# "value" or the vs_prev gate.
+SLICE_SIZE = 20
 
 # Queries whose first run triggers a one-time on-disk index build under
 # /tmp (similarity/queries._serve_index_dir). The build is forced once,
@@ -257,6 +277,39 @@ def main() -> None:
     }
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec
+
+    # Rotating non-headline slice (see SLICE_SIZE above). Single timed
+    # pass each; failures are recorded (a slice query that ERRORS is
+    # exactly the signal this exists to catch) without killing the run.
+    if os.environ.get("SPARK_GRAFT_BENCH_SLICE", "1") != "0":
+        import glob as _glob
+
+        here0 = os.path.dirname(os.path.abspath(__file__))
+        rotation = len(_glob.glob(os.path.join(here0, "BENCH_r*.json")))
+        pool = sorted(n for n in qs if n not in set(HEADLINE))
+        if pool:
+            start = (rotation * SLICE_SIZE) % len(pool)
+            picked = [
+                pool[(start + i) % len(pool)]
+                for i in range(min(SLICE_SIZE, len(pool)))
+            ]
+            slice_calib = _calibration_probe(spark)
+            slice_t: dict[str, float] = {}
+            for name in picked:
+                t0 = time.time()
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    slice_t[name] = round(time.time() - t0, 3)
+                except Exception as e:  # noqa: BLE001
+                    slice_t[name] = -1.0
+                    print(f"bench: slice query {name} failed: {e}",
+                          file=sys.stderr)
+                spark.catalog.clearCache()
+            out["slice"] = slice_t
+            out["slice_rotation"] = rotation
+            out["slice_calib_sec"] = slice_calib
 
     # Regression gate (VERDICT r3 next #7): compare per-query medians to
     # the previous recorded run at the SAME scale factor and surface >25%

@@ -31,7 +31,12 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # Override knob for the partition-invariance sweeps (round-7
+        # VERDICT #6): rerun the whole registry under adversarial
+        # partition counts without touching thread parallelism.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        )
 
     builder = (
         SparkSession.builder.master(master)
