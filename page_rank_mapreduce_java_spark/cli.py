@@ -128,6 +128,7 @@ def full_registry() -> tuple[dict, dict]:
         relational11,
         relational12,
         relational13,
+        relational14,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -154,6 +155,7 @@ def full_registry() -> tuple[dict, dict]:
         relational11,
         relational12,
         relational13,
+        relational14,
         recommend,
         dedup_queries,
         sim_queries,

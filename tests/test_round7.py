@@ -337,6 +337,107 @@ def test_norm_percentiles_monotone(spark, sf_dir):
     assert 0 < r.p25 <= r.p50 <= r.p75 <= r.p99
 
 
+def test_funnel_time_bound_monotone(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        q_events_funnel_time_bound,
+    )
+
+    r = q_events_funnel_time_bound(spark, sf_dir).collect()[0]
+    assert r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+    assert r.n_view > 0
+
+
+def test_weighted_median_in_support(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.money import cents
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        q_agg_weighted_median,
+    )
+
+    r = q_agg_weighted_median(spark, sf_dir).collect()[0]
+    li = load_table(spark, "lineitem", sf_dir)
+    lo, hi, tot = li.agg(
+        F.min("l_quantity"), F.max("l_quantity"), F.sum(cents("l_extendedprice"))
+    ).collect()[0]
+    assert lo <= r.wmedian_qty <= hi
+    assert r.total_weight_cents == tot
+
+
+def test_user_cv_support_floor(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        CV_MIN_EVENTS,
+        q_events_user_interevent_cv,
+    )
+
+    rows = q_events_user_interevent_cv(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert r.n_gaps >= CV_MIN_EVENTS
+        assert r.cv_micro > 0
+
+
+def test_anomaly_mad_flags_above_threshold(spark, sf_dir):
+    """Every flagged day re-verifies against a python recomputation of
+    median/MAD over the same integer day counts."""
+    import statistics
+
+    from page_rank_mapreduce_java_spark.operators.relational10 import (
+        _daily_counts,
+    )
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        MAD_Z_THRESHOLD_MILLI,
+        q_events_anomaly_mad,
+    )
+
+    daily = {r.day: r.c for r in _daily_counts(spark, sf_dir).collect()}
+    med = statistics.median(daily.values())
+    mad = statistics.median(abs(c - med) for c in daily.values())
+    flagged = q_events_anomaly_mad(spark, sf_dir).collect()
+    for r in flagged:
+        assert daily[r.day] == r.c
+        assert 0.6745 * abs(r.c - med) / mad * 1e3 > MAD_Z_THRESHOLD_MILLI - 1
+    # and no day wildly above threshold is missed (slack for rounding)
+    missed = [
+        d for d, c in daily.items()
+        if 0.6745 * abs(c - med) / mad * 1e3 > MAD_Z_THRESHOLD_MILLI + 1
+        and d not in {r.day for r in flagged}
+    ]
+    assert not missed
+
+
+def test_nation_flow_conserves_revenue(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.money import cents
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        q_supplier_nation_flow,
+    )
+
+    rows = q_supplier_nation_flow(spark, sf_dir).collect()
+    total = load_table(spark, "lineitem", sf_dir).agg(
+        F.sum(cents("l_extendedprice"))
+    ).collect()[0][0]
+    assert sum(r.revenue_cents for r in rows) == total
+    assert len(rows) <= 625
+
+
+def test_interval_coverage_bounded_by_span(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        q_interval_coverage_days,
+    )
+
+    rows = q_interval_coverage_days(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lo = o.agg(F.min(F.col("o_orderdate").cast("date"))).collect()[0][0]
+    hi_ship = li.agg(F.max(F.col("l_shipdate").cast("date"))).collect()[0][0]
+    hi_ord = o.agg(F.max(F.col("o_orderdate").cast("date"))).collect()[0][0]
+    span = (max(hi_ship, hi_ord) - lo).days + 1
+    for r in rows:
+        assert 1 <= r.covered_days <= span
+
+
 def test_yoy_null_prefix_and_revenue_conserves(spark, sf_dir):
     from page_rank_mapreduce_java_spark.catalog import load_table
     from page_rank_mapreduce_java_spark.functions.money import cents
