@@ -1062,8 +1062,51 @@ def _method_agreement_sql() -> str:
 """
 
 
+def q_dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage matrix between SOURCES: the MinHash-LSH
+    candidate pairs rolled up by the (source, source) pair of their
+    endpoints — the train/eval contamination question asked at corpus
+    granularity ("how much of source X duplicates source Y?"). Output
+    (source_a, source_b, n_pairs), canonical source_a ≤ source_b.
+
+    Scale shape: the pair relation is the existing banded-LSH
+    equi-join (never all-pairs); each endpoint picks up its source via
+    a join on doc_id (broadcast-sized here, key-partitioned at
+    corpus scale); the matrix is #sources² bounded."""
+    pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "doc_a", "source": "sa"}),
+            "doc_a",
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "doc_b", "source": "sb"}),
+            "doc_b",
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _cross_source_sql() -> str:
+    return f"""
+    WITH p AS ({_lsh_pairs_sql()})
+    SELECT LEAST(a.source, b.source) AS source_a,
+           GREATEST(a.source, b.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p
+      JOIN documents a ON p.doc_a = a.doc_id
+      JOIN documents b ON p.doc_b = b.doc_id
+    GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_incremental_new_docs": q_dedup_incremental_new_docs,
+    "dedup_cross_source_overlap": q_dedup_cross_source_overlap,
     "dedup_method_agreement": q_dedup_method_agreement,
     "dedup_exact": q_dedup_exact,
     "dedup_fuzzy_pairs": q_dedup_fuzzy_pairs,
@@ -1082,6 +1125,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_cross_source_overlap": _cross_source_sql(),
     "dedup_fuzzy_pairs": FUZZY_PAIRS_SQL,
     "dedup_exact": """
         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY digest) AS keeper,

@@ -506,6 +506,112 @@ SENTENCE_STATS_SQL = r"""
 """
 
 
+# --- BPE merge-pair counts ----------------------------------------------------
+
+BPE_TOP_PAIRS = 25
+
+
+def q_text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent character pairs by corpus frequency (with
+    multiplicity) — EXACTLY the statistic the first BPE training
+    iteration maximizes (Sennrich et al., "Neural Machine Translation
+    of Rare Words with Subword Units", ACL 2016: the merge candidate
+    is argmax over adjacent-symbol pair counts). Output (pair, cnt),
+    ties on pair.
+
+    Scale shape: explode words → explode each word's length−1 adjacent
+    pairs (a JVM-side transform(sequence(...)) — no Python), one
+    map-side-combined count to an alphabet²-bounded relation; top-25
+    is TakeOrderedAndProject."""
+    d = load_table(spark, "documents", sf_dir)
+    w = d.select(F.explode(words(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+BPE_SQL = f"""
+    WITH w AS (
+      SELECT unnest({WORDS_SQL}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM w WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1
+    ORDER BY cnt DESC, pair LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+# --- feature hashing ----------------------------------------------------------
+
+FEATURE_HASH_BUCKETS = 16
+
+
+def q_text_feature_hash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick profile: tokens routed to 16 hash buckets (the
+    dimensionality-free featurizer — Weinberger et al., "Feature
+    Hashing for Large Scale Multitask Learning", ICML 2009), reported
+    per language as bucket token counts + within-language share. A
+    healthy hash shows near-uniform shares; skew means bucket
+    collisions will dominate the model. Output (lang, bucket, cnt,
+    share_ppm) — 5×16 bounded.
+
+    Deterministic: the portable md5 hash family (agg_kmv_distinct's),
+    so both engines route every token identically.
+
+    Scale shape: one token explode → one map-side-combined count to
+    the bounded (lang, bucket) grid; language totals broadcast back."""
+    from page_rank_mapreduce_java_spark.functions.hashes import md5_long
+
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "lang", F.explode(words(F.col("text"))).alias("w")
+    ).select("lang", (md5_long(F.col("w")) % FEATURE_HASH_BUCKETS).alias("bucket"))
+    per = t.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    share = (
+        "CAST(ROUND(CAST(cnt AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE), 0)"
+        " AS BIGINT)"
+    )
+    return per.join(F.broadcast(tot), "lang").select(
+        "lang", "bucket", "cnt", F.expr(share).alias("share_ppm")
+    )
+
+
+def _feature_hash_sql() -> str:
+    from page_rank_mapreduce_java_spark.functions.hashes import md5_long_sql
+
+    h = md5_long_sql("w")
+    return f"""
+    WITH t AS (
+      SELECT lang, {h} % {FEATURE_HASH_BUCKETS} AS bucket
+      FROM (SELECT lang, unnest({WORDS_SQL}) AS w FROM documents)
+    ),
+    per AS (
+      SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, SUM(cnt) AS tot FROM per GROUP BY 1)
+    SELECT lang, bucket, cnt,
+           CAST(ROUND(CAST(cnt AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE), 0)
+                AS BIGINT) AS share_ppm
+    FROM per JOIN tot USING (lang)
+"""
+
+
 QUERIES = {
     "text_mixture_quota": q_text_mixture_quota,
     "text_bigram_nll": q_text_bigram_nll,
@@ -513,6 +619,8 @@ QUERIES = {
     "text_js_divergence": q_text_js_divergence,
     "text_pmi_top_pairs": q_text_pmi_top_pairs,
     "text_sentence_stats": q_text_sentence_stats,
+    "text_bpe_merge_pairs": q_text_bpe_merge_pairs,
+    "text_feature_hash_profile": q_text_feature_hash_profile,
 }
 
 ORACLES = {
@@ -522,4 +630,6 @@ ORACLES = {
     "text_js_divergence": _jsd_sql(),
     "text_pmi_top_pairs": _pmi_sql(),
     "text_sentence_stats": SENTENCE_STATS_SQL,
+    "text_bpe_merge_pairs": BPE_SQL,
+    "text_feature_hash_profile": _feature_hash_sql(),
 }

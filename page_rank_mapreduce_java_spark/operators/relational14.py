@@ -487,6 +487,218 @@ COVERAGE_SQL = f"""
 """
 
 
+# --- customer segment migration -----------------------------------------------
+
+_TERCILES = [repr(1 / 3), repr(2 / 3)]  # identical double literals both engines
+
+
+def q_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer spend-tercile migration matrix: each
+    customer's annual spend places them in a within-year tercile
+    (1=low, 3=high); the matrix counts (tercile@Y → tercile@Y+1)
+    transitions over all consecutive year pairs — the churn/upgrade
+    flow report. Output (seg_from, seg_to, n_customers), ≤9 rows;
+    customers absent in either year don't transition.
+
+    Exactness: spend is integer cents; tercile boundaries are
+    percentiles over integers with the identical interpolation and the
+    identical 1/3, 2/3 double literals on both engines; boundary
+    comparisons are shared expressions.
+
+    Scale shape: orders → (customer, year) spend (one partial agg);
+    per-year tercile boundaries are a bounded #years-row relation
+    broadcast back; the transition join is per-customer on
+    (custkey, year+1). No window anywhere."""
+    o = load_table(spark, "orders", sf_dir)
+    spend = o.groupBy(
+        F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("yr")
+    ).agg(F.sum(_cents("o_totalprice")).alias("s"))
+    pct = F.percentile(
+        "s", F.array(F.lit(float(_TERCILES[0])), F.lit(float(_TERCILES[1])))
+    )
+    bounds = spend.groupBy("yr").agg(pct.alias("_p")).select(
+        "yr",
+        F.element_at("_p", 1).alias("t1"),
+        F.element_at("_p", 2).alias("t2"),
+    )
+    seg = (
+        spend.join(F.broadcast(bounds), "yr")
+        .select(
+            "ck",
+            "yr",
+            F.when(F.col("s") <= F.col("t1"), 1)
+            .when(F.col("s") <= F.col("t2"), 2)
+            .otherwise(3)
+            .alias("seg"),
+        )
+    )
+    nxt = seg.select(
+        F.col("ck").alias("ck2"),
+        (F.col("yr") - 1).alias("yr2"),
+        F.col("seg").alias("seg_to"),
+    )
+    trans = seg.join(
+        nxt, (seg.ck == nxt.ck2) & (seg.yr == nxt.yr2)
+    )
+    return trans.groupBy(
+        F.col("seg").alias("seg_from"), "seg_to"
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+MIGRATION_SQL = f"""
+    WITH spend AS (
+      SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+             CAST(SUM({cents_sql("o_totalprice")}) AS BIGINT) AS s
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT yr, quantile_cont(s, {_TERCILES[0]}) AS t1,
+             quantile_cont(s, {_TERCILES[1]}) AS t2
+      FROM spend GROUP BY 1
+    ),
+    seg AS (
+      SELECT ck, yr,
+             CASE WHEN s <= t1 THEN 1 WHEN s <= t2 THEN 2 ELSE 3 END AS seg
+      FROM spend JOIN bounds USING (yr)
+    )
+    SELECT a.seg AS seg_from, b.seg AS seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM seg a JOIN seg b ON a.ck = b.ck AND b.yr = a.yr + 1
+    GROUP BY 1, 2
+"""
+
+
+# --- ABC classification -------------------------------------------------------
+
+
+def q_orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: class A =
+    parts whose cumulative revenue share (descending, inclusive) stays
+    within 80%, B within 95%, C the tail — the Pareto operator's
+    3-class rollup. Output (abc_class, n_parts, revenue_cents).
+
+    Exactness: the class cuts compare integers cross-multiplied
+    (5·cum ≤ 4·tot and 20·cum ≤ 19·tot) — no floating point.
+
+    Scale shape: part revenues are fact-scale, so the descending
+    prefix sum rides the two-pass global_running_sum chassis (never a
+    single-partition window); the classification reduces to 3 rows."""
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        global_running_sum,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_extendedprice")).alias("rev")
+    )
+    cum = global_running_sum(
+        rev, "rev", [F.desc("rev"), F.asc("l_partkey")], out_col="cum"
+    )
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    cls = (
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(cls.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("revenue_cents"),
+        )
+    )
+
+
+ABC_SQL = f"""
+    WITH rev AS (
+      SELECT l_partkey, CAST(SUM({cents_sql("l_extendedprice")}) AS BIGINT)
+               AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT rev, SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    ),
+    tot AS (SELECT SUM(rev) AS tot FROM rev)
+    SELECT CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                WHEN 20 * cum <= 19 * tot THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS revenue_cents
+    FROM cum CROSS JOIN tot GROUP BY 1
+"""
+
+
+# --- as-of join with staleness tolerance --------------------------------------
+
+ASOF_TOLERANCE_SEC = 7200  # 2-hour attribution window
+
+
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a max-staleness bound: each purchase
+    matches the same user's latest click at-or-before it ONLY if that
+    click is at most 2 hours old — the bounded attribution window
+    every production as-of carries (a stale match is worse than no
+    match; the unbounded variant is join_asof_latest_order). Output
+    (event_id, user_id, click_id, staleness_sec).
+
+    Scale shape: identical cost envelope to join_asof_latest_order
+    (one union-sort exchange via operators/asof.asof_join); the
+    matched timestamp rides along as a second payload column, and the
+    tolerance is a post-filter — no extra shuffle. Staleness is exact
+    integer seconds (unix_micros div 1e6 — the module-10 µs
+    convention)."""
+    from page_rank_mapreduce_java_spark.operators.asof import asof_join
+
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("matched_us", F.unix_micros("ts"))
+    )
+    j = asof_join(
+        p,
+        c,
+        on="user_id",
+        ts="ts",
+        payload=["click_id", "matched_us"],
+        tiebreak=["event_id"],
+    )
+    stale = (F.unix_micros("ts") - F.col("matched_us")).alias("_d")
+    return (
+        j.withColumn("_d", stale)
+        .filter(F.col("_d") <= ASOF_TOLERANCE_SEC * 1_000_000)
+        .select(
+            "event_id",
+            "user_id",
+            "click_id",
+            (F.col("_d") / F.lit(1_000_000)).cast("long").alias("staleness_sec"),
+        )
+    )
+
+
+ASOF_TOL_SQL = f"""
+    WITH c AS (
+      SELECT user_id AS k, ts AS cts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, c.click_id,
+           CAST((epoch_us(p.ts) - epoch_us(c.cts)) // 1000000 AS BIGINT)
+             AS staleness_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN c ON p.user_id = c.k AND p.ts >= c.cts
+    WHERE epoch_us(p.ts) - epoch_us(c.cts)
+          <= CAST({ASOF_TOLERANCE_SEC} AS BIGINT) * 1000000
+"""
+
+
 QUERIES = {
     "events_funnel_time_bound": q_events_funnel_time_bound,
     "agg_weighted_median": q_agg_weighted_median,
@@ -494,6 +706,9 @@ QUERIES = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "supplier_nation_flow": q_supplier_nation_flow,
     "interval_coverage_days": q_interval_coverage_days,
+    "customer_migration_matrix": q_customer_migration_matrix,
+    "orders_abc_classification": q_orders_abc_classification,
+    "join_asof_tolerance": q_join_asof_tolerance,
 }
 
 ORACLES = {
@@ -503,4 +718,7 @@ ORACLES = {
     "events_anomaly_mad": _mad_sql(),
     "supplier_nation_flow": FLOW_SQL,
     "interval_coverage_days": COVERAGE_SQL,
+    "customer_migration_matrix": MIGRATION_SQL,
+    "orders_abc_classification": ABC_SQL,
+    "join_asof_tolerance": ASOF_TOL_SQL,
 }

@@ -438,6 +438,95 @@ def test_interval_coverage_bounded_by_span(spark, sf_dir):
         assert 1 <= r.covered_days <= span
 
 
+def test_migration_matrix_segments_valid(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        q_customer_migration_matrix,
+    )
+
+    rows = q_customer_migration_matrix(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 9
+    for r in rows:
+        assert r.seg_from in (1, 2, 3) and r.seg_to in (1, 2, 3)
+        assert r.n_customers > 0
+
+
+def test_abc_classes_partition_parts(spark, sf_dir):
+    """A/B/C partition the part set; revenue shares respect the 80/95
+    cuts (A's share ≤ 80% + one part's worth of slack by the inclusive
+    convention; A ∪ B ≤ 95% + slack)."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.money import cents
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        q_orders_abc_classification,
+    )
+
+    rows = {r.abc_class: r for r in
+            q_orders_abc_classification(spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    n_parts = li.select("l_partkey").distinct().count()
+    tot = li.agg(F.sum(cents("l_extendedprice"))).collect()[0][0]
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert sum(r.revenue_cents for r in rows.values()) == tot
+    if "A" in rows:
+        assert rows["A"].revenue_cents <= 0.8 * tot
+    if "A" in rows and "B" in rows:
+        assert rows["A"].revenue_cents + rows["B"].revenue_cents <= 0.95 * tot
+
+
+def test_asof_tolerance_is_subset_with_bounded_staleness(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational14 import (
+        ASOF_TOLERANCE_SEC,
+        q_join_asof_tolerance,
+    )
+
+    rows = q_join_asof_tolerance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.staleness_sec <= ASOF_TOLERANCE_SEC
+
+
+def test_bpe_pairs_are_bigrams(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.functions.text_queries3 import (
+        q_text_bpe_merge_pairs,
+    )
+
+    rows = q_text_bpe_merge_pairs(spark, sf_dir).collect()
+    assert len(rows) == 25
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r.pair) == 2
+
+
+def test_feature_hash_partitions_tokens(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.text_queries3 import (
+        FEATURE_HASH_BUCKETS,
+        q_text_feature_hash_profile,
+    )
+    from page_rank_mapreduce_java_spark.functions.textfn import words
+
+    rows = q_text_feature_hash_profile(spark, sf_dir).collect()
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = d.select(F.explode(words(F.col("text"))).alias("w")).count()
+    assert sum(r.cnt for r in rows) == n_tokens
+    for r in rows:
+        assert 0 <= r.bucket < FEATURE_HASH_BUCKETS
+
+
+def test_cross_source_overlap_conserves_pairs(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.dedup.queries import (
+        q_dedup_cross_source_overlap,
+        q_dedup_minhash_lsh_pairs,
+    )
+
+    rows = q_dedup_cross_source_overlap(spark, sf_dir).collect()
+    n_pairs = q_dedup_minhash_lsh_pairs(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b
+
+
 def test_yoy_null_prefix_and_revenue_conserves(spark, sf_dir):
     from page_rank_mapreduce_java_spark.catalog import load_table
     from page_rank_mapreduce_java_spark.functions.money import cents
