@@ -129,6 +129,7 @@ def full_registry() -> tuple[dict, dict]:
         relational12,
         relational13,
         relational14,
+        relational15,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -156,6 +157,7 @@ def full_registry() -> tuple[dict, dict]:
         relational12,
         relational13,
         relational14,
+        relational15,
         recommend,
         dedup_queries,
         sim_queries,

@@ -592,33 +592,29 @@ BACKLOG_SQL = """
 
 def q_orders_yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue growth per calendar month: monthly
-    revenue in exact cents, the same month last year via lag(12) over
-    the bounded month series, growth in ppm. Output (year, month,
-    revenue_cents, yoy_ppm) — yoy_ppm NULL for the first year.
+    revenue in exact cents, matched to the SAME month last year by an
+    equi-join on (year-1, month) — correct even when the month series
+    has gaps, and the inner join drops first-year months so the output
+    has no NULLs. Output (year, month, revenue_cents, yoy_ppm).
 
-    Scale shape: fact scan → ≤#months relation (bounded-domain window
-    convention); the growth ratio divides doubles cast once from the
-    exact integer cents."""
+    Scale shape: fact scan → ≤#months relation; the self-join runs on
+    the bounded monthly relation, never on facts; the growth ratio
+    divides doubles cast once from the exact integer cents."""
     o = load_table(spark, "orders", sf_dir)
     monthly = o.groupBy(
         F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
     ).agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"))
-    w = Window.orderBy(F.col("year") * 12 + F.col("month"))
-    prev = F.lag("revenue_cents", 12).over(w)
+    prev = monthly.select(
+        (F.col("year") + 1).alias("year"),
+        "month",
+        F.col("revenue_cents").alias("_prev"),
+    )
     growth = (
         "CAST(ROUND((CAST(revenue_cents AS DOUBLE) - CAST(_prev AS DOUBLE))"
         " / CAST(_prev AS DOUBLE) * 1e6, 0) AS BIGINT)"
     )
-    return (
-        monthly.withColumn("_prev", prev)
-        .select(
-            "year",
-            "month",
-            "revenue_cents",
-            F.when(F.col("_prev").isNotNull(), F.expr(growth)).alias(
-                "yoy_ppm"
-            ),
-        )
+    return monthly.join(prev, ["year", "month"]).select(
+        "year", "month", "revenue_cents", F.expr(growth).alias("yoy_ppm")
     )
 
 
@@ -628,18 +624,14 @@ YOY_SQL = f"""
              CAST(SUM({cents_sql("o_totalprice")}) AS BIGINT) AS revenue_cents
       FROM orders GROUP BY 1, 2
     ),
-    lagged AS (
-      SELECT *, lag(revenue_cents, 12) OVER (ORDER BY year * 12 + month)
-               AS _prev
-      FROM monthly
+    prev AS (
+      SELECT year + 1 AS year, month, revenue_cents AS _prev FROM monthly
     )
-    SELECT CAST(year AS BIGINT) AS year, CAST(month AS BIGINT) AS month,
-           revenue_cents,
-           CASE WHEN _prev IS NOT NULL THEN
-             CAST(ROUND((CAST(revenue_cents AS DOUBLE) - CAST(_prev AS DOUBLE))
-                  / CAST(_prev AS DOUBLE) * 1e6, 0) AS BIGINT)
-           END AS yoy_ppm
-    FROM lagged
+    SELECT CAST(m.year AS BIGINT) AS year, CAST(m.month AS BIGINT) AS month,
+           m.revenue_cents,
+           CAST(ROUND((CAST(m.revenue_cents AS DOUBLE) - CAST(_prev AS DOUBLE))
+                / CAST(_prev AS DOUBLE) * 1e6, 0) AS BIGINT) AS yoy_ppm
+    FROM monthly m JOIN prev p ON m.year = p.year AND m.month = p.month
 """
 
 

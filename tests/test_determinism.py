@@ -84,6 +84,18 @@ QUERIES_UNDER_TEST = [
     "events_markov_stationary",
     "graph_degree_gini",
     "events_moving_median7",
+    # round-7: rank statistics (Mann-Whitney U rides global ranks),
+    # weighted/grouped order statistics, the corr-family ACF and the
+    # windowed z-score's terminal sqrt, ABC's ranked prefix cut, and
+    # the batch-15 token first-seen min + streak run-length encoding
+    "mannwhitney_u_quantity",
+    "agg_weighted_median",
+    "agg_percentiles_by_nation",
+    "events_acf_multi",
+    "events_rolling_zscore7",
+    "orders_abc_classification",
+    "text_vocab_growth",
+    "orders_updown_streaks",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -527,9 +527,8 @@ def test_cross_source_overlap_conserves_pairs(spark, sf_dir):
         assert r.source_a <= r.source_b
 
 
-def test_yoy_null_prefix_and_revenue_conserves(spark, sf_dir):
+def test_yoy_no_nulls_and_matches_month_domain(spark, sf_dir):
     from page_rank_mapreduce_java_spark.catalog import load_table
-    from page_rank_mapreduce_java_spark.functions.money import cents
     from page_rank_mapreduce_java_spark.operators.relational13 import (
         q_orders_yoy_monthly_growth,
     )
@@ -538,9 +537,104 @@ def test_yoy_null_prefix_and_revenue_conserves(spark, sf_dir):
         q_orders_yoy_monthly_growth(spark, sf_dir).collect(),
         key=lambda r: (r.year, r.month),
     )
-    assert all(r.yoy_ppm is None for r in rows[:12])
-    assert all(r.yoy_ppm is not None for r in rows[12:])
-    total = load_table(spark, "orders", sf_dir).agg(
-        F.sum(cents("o_totalprice"))
-    ).collect()[0][0]
-    assert sum(r.revenue_cents for r in rows) == total
+    # Inner-join semantics: every emitted month has a same-month-last-year
+    # counterpart, so yoy_ppm is never NULL.
+    assert rows and all(r.yoy_ppm is not None for r in rows)
+    months = {
+        (r.year, r.month)
+        for r in load_table(spark, "orders", sf_dir)
+        .select(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .distinct()
+        .collect()
+    }
+    expected = {(y, m) for (y, m) in months if (y - 1, m) in months}
+    assert {(r.year, r.month) for r in rows} == expected
+
+
+# --- batch 15 -----------------------------------------------------------------
+
+
+def test_pit_scd2_partitions_orders_exactly_once(spark, sf_dir):
+    """Every order resolves to exactly ONE version (the SCD2 validity
+    ranges tile the timeline), so n_orders sums to the order count and
+    0 <= n_v1 <= n_orders per year."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational15 import (
+        q_join_pit_scd2_lookup,
+    )
+
+    rows = q_join_pit_scd2_lookup(spark, sf_dir).collect()
+    n_orders = load_table(spark, "orders", sf_dir).count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert all(0 <= r.n_v1 <= r.n_orders for r in rows)
+
+
+def test_retention_triangle_offset0_is_cohort_size(spark, sf_dir):
+    """Offset 0 exists for every cohort (a user is active in their own
+    first week), its n_users is the cohort's max across offsets, and
+    the offset-0 counts sum to the distinct-user total."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational15 import (
+        q_events_retention_triangle,
+    )
+
+    rows = q_events_retention_triangle(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, {})[r.offset_weeks] = r.n_users
+    assert by_cohort
+    for offs in by_cohort.values():
+        assert 0 in offs
+        assert offs[0] == max(offs.values())
+    total_users = (
+        load_table(spark, "events", sf_dir).select("user_id").distinct().count()
+    )
+    assert sum(offs[0] for offs in by_cohort.values()) == total_users
+
+
+def test_vocab_growth_cumulative_is_vocabulary(spark, sf_dir):
+    """cum_types is non-decreasing, the last row equals the corpus
+    vocabulary size, and bucket_tokens conserves the corpus token
+    count."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.functions.textfn import words
+    from page_rank_mapreduce_java_spark.operators.relational15 import (
+        q_text_vocab_growth,
+    )
+
+    rows = sorted(
+        q_text_vocab_growth(spark, sf_dir).collect(), key=lambda r: r.bucket
+    )
+    assert all(
+        a.cum_types <= b.cum_types for a, b in zip(rows, rows[1:])
+    )
+    assert sum(r.new_types for r in rows) == rows[-1].cum_types
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(words(F.col("text"))).alias("tok"))
+    )
+    assert sum(r.bucket_tokens for r in rows) == toks.count()
+    assert rows[-1].cum_types == toks.distinct().count()
+
+
+def test_updown_streaks_cover_month_deltas(spark, sf_dir):
+    """Streak months sum to #months − 1 (every delta belongs to exactly
+    one streak) and max_len <= months per direction."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational15 import (
+        q_orders_updown_streaks,
+    )
+
+    rows = q_orders_updown_streaks(spark, sf_dir).collect()
+    n_months = (
+        load_table(spark, "orders", sf_dir)
+        .select(F.year("o_orderdate"), F.month("o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.months for r in rows) == n_months - 1
+    assert all(r.max_len <= r.months for r in rows)
+    assert all(r.n_streaks >= 1 for r in rows)
