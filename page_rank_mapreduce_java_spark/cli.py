@@ -130,6 +130,7 @@ def full_registry() -> tuple[dict, dict]:
         relational13,
         relational14,
         relational15,
+        relational16,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -158,6 +159,7 @@ def full_registry() -> tuple[dict, dict]:
         relational13,
         relational14,
         relational15,
+        relational16,
         recommend,
         dedup_queries,
         sim_queries,

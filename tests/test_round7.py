@@ -638,3 +638,91 @@ def test_updown_streaks_cover_month_deltas(spark, sf_dir):
     assert sum(r.months for r in rows) == n_months - 1
     assert all(r.max_len <= r.months for r in rows)
     assert all(r.n_streaks >= 1 for r in rows)
+
+
+# --- batch 16 -----------------------------------------------------------------
+
+
+def test_pca_loading_matches_numpy_eigvec(spark, sf_dir):
+    """The integer power-iteration direction must align with numpy's
+    leading eigenvector of the SAME quantized Gram matrix: cosine
+    similarity > 0.999 (sign fixed by the all-ones start)."""
+    import numpy as np
+
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational16 import (
+        q_embedding_pca_top_component,
+    )
+
+    rows = sorted(
+        q_embedding_pca_top_component(spark, sf_dir).collect(),
+        key=lambda r: r.pos,
+    )
+    v = np.array([float(r.loading_ppm) for r in rows])
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, "embeddings", sf_dir)
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    lo, hi = emb.min(axis=0), emb.max(axis=0)
+    span = np.where(hi - lo == 0, 1.0, hi - lo)
+    q = np.round((emb - lo) / span * 254.0) - 127.0
+    q[:, hi - lo == 0] = 0.0
+    g = q.T @ q
+    w_, vec = np.linalg.eigh(g)
+    lead = vec[:, -1]
+    cos = abs(v @ lead) / (np.linalg.norm(v) * np.linalg.norm(lead))
+    assert cos > 0.999
+
+
+def test_null_safe_join_keeps_null_bucket(spark, sf_dir):
+    """The -1 (NULL) bucket equals (#null customers × #null suppliers)
+    and total pairs match the null-normalized key product sum."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational16 import (
+        q_join_null_safe_nations,
+    )
+
+    rows = {r.nk: r.n_pairs for r in q_join_null_safe_nations(spark, sf_dir).collect()}
+    nc = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") % 97 == 0)
+        .count()
+    )
+    ns = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_suppkey") % 89 == 0)
+        .count()
+    )
+    assert rows.get(-1, 0) == nc * ns
+    assert all(n > 0 for n in rows.values())
+
+
+def test_longest_gap_within_customer_span(spark, sf_dir):
+    """Every reported gap is positive and no longer than the customer's
+    total order-date span."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational16 import (
+        q_interval_longest_gap,
+    )
+
+    rows = q_interval_longest_gap(spark, sf_dir).collect()
+    assert rows and len(rows) <= 25
+    spans = {
+        r.ck: r.span
+        for r in load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("span")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0 < r.max_gap_days <= spans[r.c_custkey]
