@@ -726,3 +726,34 @@ def test_longest_gap_within_customer_span(spark, sf_dir):
     }
     for r in rows:
         assert 0 < r.max_gap_days <= spans[r.c_custkey]
+
+
+def test_sign_split_division_contract(spark, sf_dir):
+    """The PCA normalize step's cross-engine contract: the sign-split
+    expression equals truncation-toward-zero division in Spark, DuckDB,
+    and Python on negatives, positives, and boundary values."""
+    import duckdb
+
+    cases = [-7, -6, -5, -1, 0, 1, 5, 6, 7, -1_000_000, 999_999, 2**53 + 3, -(2**53) - 3]
+    d = 3
+    expr = (
+        f"CASE WHEN x < 0 THEN -((-x) {{div}} {d}) ELSE x {{div}} {d} END"
+    )
+    sdf = spark.createDataFrame([(x,) for x in cases], "x long").selectExpr(
+        f"x", f"CAST({expr.format(div='div')} AS BIGINT) AS r"
+    )
+    got_spark = {r.x: r.r for r in sdf.collect()}
+    con = duckdb.connect()
+    got_duck = dict(
+        con.sql(
+            "SELECT x, CAST("
+            + expr.format(div="//")
+            + " AS BIGINT) FROM (SELECT unnest("
+            + str(cases)
+            + ") AS x)"
+        ).fetchall()
+    )
+    for x in cases:
+        want = -((-x) // d) if x < 0 else x // d  # trunc-toward-zero
+        assert got_spark[x] == want, (x, got_spark[x], want)
+        assert got_duck[x] == want, (x, got_duck[x], want)
