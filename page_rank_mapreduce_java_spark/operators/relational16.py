@@ -296,14 +296,128 @@ LONGEST_GAP_SQL = """
 """
 
 
+# --- LPA partition modularity -------------------------------------------------
+
+
+def q_graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA community partition on the
+    supplier co-occurrence graph (the quality score for
+    graph_lpa_communities' output — "how much denser than chance are
+    the communities?"). With sym the both-directions edge relation
+    (|sym| = 2m), i2_c the directed intra-community pair count
+    (= 2·e_c) and d_c the community degree sum,
+    Q = (Σ_c i2_c·|sym| − Σ_c d_c²) / |sym|² — numerator and
+    denominator are exact integers; ONE shared terminal double
+    expression renders Q in ppm. Output one row (q_ppm, n_communities,
+    sym_edges).
+
+    Scale shape: labels ride the existing LPA chassis (edges shuffled
+    once, lineage cut per round); modularity adds two label equi-joins
+    on the edge relation reduced per community, then a bounded
+    aggregate — no window, no new fact-scale state. Citation:
+    Newman-Girvan '04 (the standard definition); reference repo has no
+    graph ops beyond PageRank (pageRank_v2.java:80-103)."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import (
+        _symmetrize,
+        label_propagation,
+    )
+    from page_rank_mapreduce_java_spark.graph.queries import (
+        LPA_ROUNDS,
+        cooccurrence_edges,
+    )
+
+    e = cooccurrence_edges(spark, sf_dir)
+    lbl = label_propagation(e, rounds=LPA_ROUNDS).select(
+        "id", F.col("community").alias("c")
+    )
+    sym = _symmetrize(e).localCheckpoint()
+    m2 = sym.agg(F.count(F.lit(1)).alias("m2"))
+    deg = (
+        sym.join(lbl, sym.src == lbl.id)
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lbl_b = lbl.select(F.col("id").alias("id_b"), F.col("c").alias("c_b"))
+    intra = (
+        sym.join(lbl, sym.src == lbl.id)
+        .join(lbl_b, sym.dst == F.col("id_b"))
+        .filter(F.col("c") == F.col("c_b"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("i2"))
+    )
+    per = deg.join(intra, "c", "left").select(
+        "c", "d", F.coalesce("i2", F.lit(0)).alias("i2")
+    )
+    agg = per.crossJoin(F.broadcast(m2)).agg(
+        F.sum(F.col("i2") * F.col("m2") - F.col("d") * F.col("d")).alias(
+            "num"
+        ),
+        F.count(F.lit(1)).alias("n_communities"),
+        F.first("m2").alias("m2"),
+    )
+    return agg.select(
+        F.expr(
+            "CAST(ROUND(CAST(num AS DOUBLE) * 1e6"
+            " / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 0) AS BIGINT)"
+        ).alias("q_ppm"),
+        "n_communities",
+        F.col("m2").cast("long").alias("sym_edges"),
+    )
+
+
+def _lpa_modularity_sql() -> str:
+    from page_rank_mapreduce_java_spark.graph.queries import (
+        COOC_EDGES_SQL,
+        _lpa_oracle_sql,
+    )
+
+    return f"""
+    WITH lpa AS MATERIALIZED ({_lpa_oracle_sql()}),
+    e AS MATERIALIZED ({COOC_EDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    two_m AS (SELECT COUNT(*) AS m2 FROM sym),
+    deg AS (
+      SELECT l.community AS c, COUNT(*) AS d
+      FROM sym s JOIN lpa l ON s.src = l.id GROUP BY 1
+    ),
+    intra AS (
+      SELECT a.community AS c, COUNT(*) AS i2
+      FROM sym s
+        JOIN lpa a ON s.src = a.id
+        JOIN lpa b ON s.dst = b.id
+      WHERE a.community = b.community
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT deg.c, deg.d, COALESCE(intra.i2, 0) AS i2
+      FROM deg LEFT JOIN intra ON deg.c = intra.c
+    ),
+    agg AS (
+      SELECT SUM(i2 * m2 - d * d) AS num, COUNT(*) AS n_communities,
+             ANY_VALUE(m2) AS m2
+      FROM per CROSS JOIN two_m
+    )
+    SELECT CAST(ROUND(CAST(num AS DOUBLE) * 1e6
+                / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 0) AS BIGINT)
+             AS q_ppm,
+           n_communities,
+           CAST(m2 AS BIGINT) AS sym_edges
+    FROM agg
+"""
+
+
 QUERIES = {
     "embedding_pca_top_component": q_embedding_pca_top_component,
     "join_null_safe_nations": q_join_null_safe_nations,
     "interval_longest_gap": q_interval_longest_gap,
+    "graph_lpa_modularity": q_graph_lpa_modularity,
 }
 
 ORACLES = {
     "embedding_pca_top_component": _pca_sql(),
     "join_null_safe_nations": NULL_SAFE_SQL,
     "interval_longest_gap": LONGEST_GAP_SQL,
+    "graph_lpa_modularity": _lpa_modularity_sql(),
 }

@@ -757,3 +757,37 @@ def test_sign_split_division_contract(spark, sf_dir):
         want = -((-x) // d) if x < 0 else x // d  # trunc-toward-zero
         assert got_spark[x] == want, (x, got_spark[x], want)
         assert got_duck[x] == want, (x, got_duck[x], want)
+
+
+def test_lpa_modularity_bounds_and_networkx_free_check(spark, sf_dir):
+    """Q lies in [-0.5, 1) by definition; cross-check against a pure-
+    Python recomputation from the same labels and edge relation."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import (
+        _symmetrize,
+        label_propagation,
+    )
+    from page_rank_mapreduce_java_spark.graph.queries import (
+        LPA_ROUNDS,
+        cooccurrence_edges,
+    )
+    from page_rank_mapreduce_java_spark.operators.relational16 import (
+        q_graph_lpa_modularity,
+    )
+
+    row = q_graph_lpa_modularity(spark, sf_dir).collect()[0]
+    assert -500_000 <= row.q_ppm < 1_000_000
+    e = cooccurrence_edges(spark, sf_dir)
+    lbl = {
+        r.id: r.community
+        for r in label_propagation(e, rounds=LPA_ROUNDS).collect()
+    }
+    sym = [(r.src, r.dst) for r in _symmetrize(e).collect()]
+    m2 = len(sym)
+    from collections import Counter
+
+    deg = Counter(lbl[s] for s, _ in sym)
+    i2 = Counter(lbl[s] for s, d in sym if lbl[s] == lbl[d])
+    num = sum(i2.get(c, 0) * m2 - d * d for c, d in deg.items())
+    assert row.sym_edges == m2
+    assert row.n_communities == len(deg)
+    assert row.q_ppm == round(num * 1e6 / (m2 * m2))
