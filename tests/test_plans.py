@@ -187,3 +187,37 @@ def test_gapfill_spine_is_broadcast_sized(spark, sf_dir):
     plan = formatted_plan(relational3.q_events_daily_gapfill(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pit_scd2_broadcasts_versioned_dim(spark, sf_dir):
+    """The SCD2 lookup must broadcast the (dimension x versions) side —
+    never shuffle the fact side against an exploded history — and keep
+    Python out of the plan."""
+    from page_rank_mapreduce_java_spark.operators import relational16 as r16
+    from page_rank_mapreduce_java_spark.operators import relational15 as r15
+
+    df = r15.q_join_pit_scd2_lookup(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert not uses_python_udf(df)
+    assert "CartesianProduct" not in formatted_plan(df)
+    for q in (
+        r15.q_events_retention_triangle,
+        r15.q_text_vocab_growth,
+        r15.q_orders_updown_streaks,
+        r16.q_join_null_safe_nations,
+        r16.q_interval_longest_gap,
+        r16.q_embedding_pca_top_component,
+    ):
+        d = q(spark, sf_dir)
+        assert not uses_python_udf(d), q.__name__
+        assert "CartesianProduct" not in formatted_plan(d), q.__name__
+
+
+def test_null_safe_join_stays_equi_join(spark, sf_dir):
+    """<=> must compile to a hash/sort-merge equi-join on the
+    null-normalized key, not a nested-loop join."""
+    from page_rank_mapreduce_java_spark.operators import relational16 as r16
+
+    plan = formatted_plan(r16.q_join_null_safe_nations(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
