@@ -408,11 +408,63 @@ def _lpa_modularity_sql() -> str:
 """
 
 
+# --- Poisson dispersion index -------------------------------------------------
+
+
+def q_events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio (the Poisson dispersion / Fisher index)
+    of the daily event-count series — the standard one-number test for
+    burstiness: D ≈ 1 for a Poisson process, D ≫ 1 overdispersed.
+    D = s²/x̄ = (n·Σc² − (Σc)²) / ((n−1)·Σc) from exact integer
+    sufficient statistics over the bounded daily relation; ONE shared
+    terminal double expression renders micro units. Output one row
+    (n_days, total_events, dispersion_micro).
+
+    Scale shape: fact scan → ≤#days relation (map-side-combined count),
+    then a 1-row aggregate; no window, no join."""
+    e = load_table(spark, "events", sf_dir)
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("total_events"),
+        F.expr(
+            "CAST(ROUND((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / ((CAST(n AS DOUBLE) - 1.0) * CAST(s AS DOUBLE))"
+            " * 1e6, 0) AS BIGINT)"
+        ).alias("dispersion_micro"),
+    )
+
+
+POISSON_DISPERSION_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS total_events,
+           CAST(ROUND((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / ((CAST(n AS DOUBLE) - 1.0) * CAST(s AS DOUBLE))
+                * 1e6, 0) AS BIGINT) AS dispersion_micro
+    FROM agg
+"""
+
+
 QUERIES = {
     "embedding_pca_top_component": q_embedding_pca_top_component,
     "join_null_safe_nations": q_join_null_safe_nations,
     "interval_longest_gap": q_interval_longest_gap,
     "graph_lpa_modularity": q_graph_lpa_modularity,
+    "events_poisson_dispersion": q_events_poisson_dispersion,
 }
 
 ORACLES = {
@@ -420,4 +472,5 @@ ORACLES = {
     "join_null_safe_nations": NULL_SAFE_SQL,
     "interval_longest_gap": LONGEST_GAP_SQL,
     "graph_lpa_modularity": _lpa_modularity_sql(),
+    "events_poisson_dispersion": POISSON_DISPERSION_SQL,
 }

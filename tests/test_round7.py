@@ -791,3 +791,26 @@ def test_lpa_modularity_bounds_and_networkx_free_check(spark, sf_dir):
     assert row.sym_edges == m2
     assert row.n_communities == len(deg)
     assert row.q_ppm == round(num * 1e6 / (m2 * m2))
+
+
+def test_poisson_dispersion_matches_direct_stats(spark, sf_dir):
+    """dispersion_micro equals the directly-computed sample
+    variance-to-mean ratio of the daily counts, and the totals
+    conserve."""
+    from page_rank_mapreduce_java_spark.catalog import load_table
+    from page_rank_mapreduce_java_spark.operators.relational16 import (
+        q_events_poisson_dispersion,
+    )
+
+    row = q_events_poisson_dispersion(spark, sf_dir).collect()[0]
+    counts = [
+        r.c
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    n, s, q = len(counts), sum(counts), sum(c * c for c in counts)
+    assert row.n_days == n and row.total_events == s
+    assert row.dispersion_micro == round((n * q - s * s) / ((n - 1) * s) * 1e6)
+    assert row.dispersion_micro > 0
