@@ -193,7 +193,10 @@ def q_mm_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the 8-way band fan-out re-runs the Python leg
     # otherwise (A/B r6: 2.67 -> 1.42 s at sf0.1)
     fp = wav_fingerprint(documents_to_wav(d)).persist()
-    return hamming_blocked_pairs(fp, "afp", AFP_BLOCKS, 8, AFP_HAM_MAX)
+    return hamming_blocked_pairs(
+        fp, "afp", AFP_BLOCKS, 8, AFP_HAM_MAX,
+        bound_key=f"audiofp_pairs:{sf_dir}",
+    )
 
 
 _N_WIN = AFP_SAMPLES // AFP_WINDOW

@@ -330,6 +330,11 @@ def audio_window_features(df: DataFrame, window_ms: int = 100) -> DataFrame:
                     continue
                 _w, _h, sr, _dur = _decode_payload(payload)
                 mono = _wav_samples(payload)[:, 0].astype(np.int64)
+                if len(mono) == 0:
+                    # zero-sample RIFF: no windows (the per-row loop this
+                    # replaced simply emitted nothing; starts[-1]/n_samp[-1]
+                    # below would IndexError on the empty arrays)
+                    continue
                 step = max(1, sr * window_ms // 1000)
                 nwin = math.ceil(len(mono) / step)
                 starts = np.arange(nwin) * step

@@ -51,6 +51,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.plans.pairsize import (
+    sum_sq_group_bound,
+    volume_repartition_pairs,
+)
 
 PHASH_GRID = 8  # pixel grid and DCT size
 PHASH_BASIS_SCALE = 1 << 14
@@ -174,12 +178,24 @@ def hamming_blocked_pairs(
     block_bits: int,
     ham_max: int,
     id_col: str = "doc_id",
+    bound_key: str | None = None,
 ) -> DataFrame:
     """Hamming-blocked near-dup pairs over an integer-hash relation (the
     dedup_simhash_pairs chassis, generalized across modalities): split
     the hash into ``n_blocks`` × ``block_bits`` blocks, equi-join docs
     sharing any block value (pigeonhole: distance ≤ n_blocks - 1 ⇒ some
-    block equal), verify exact Hamming on collisions only."""
+    block equal), verify exact Hamming on collisions only.
+
+    The dedup exchange (the DISTINCT over surviving pairs) is
+    VOLUME-SIZED (plans/pairsize.py, the r7 sf10-OOM chassis): on a
+    heavily-duplicated 100 TB corpus, collision-pair volume is
+    Σ_(blk,bv) c² — unbounded relative to the session's fixed shuffle
+    width, the exact class that blew item_item_topk's spill reader. The
+    bound aggregate is one cheap pass over the (persisted) fingerprint
+    relation; repartitioning on (doc_a, doc_b) satisfies the distinct's
+    clustering, so Catalyst elides its own exchange and small corpora
+    keep the session-parallelism plan. ``bound_key`` memoizes the bound
+    per session so repeated plan builds pay it once."""
     mask = (1 << block_bits) - 1
     blocks = None
     for b in range(n_blocks):
@@ -192,9 +208,12 @@ def hamming_blocked_pairs(
             .alias("bv"),
         )
         blocks = part if blocks is None else blocks.unionByName(part)
+    pair_bound = sum_sq_group_bound(
+        blocks, ["blk", "bv"], cache_key=bound_key
+    )
     x, y = blocks.alias("x"), blocks.alias("y")
     dist = F.bit_count(F.col("x._h").bitwiseXOR(F.col("y._h")))
-    return (
+    cand = (
         x.join(y, ["blk", "bv"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
@@ -203,13 +222,17 @@ def hamming_blocked_pairs(
             dist.alias("hamming"),
         )
         .filter(F.col("hamming") <= ham_max)
-        .distinct()
     )
+    return volume_repartition_pairs(
+        cand, ["doc_a", "doc_b"], pair_bound
+    ).distinct()
 
 
-def phash_pairs(hashes: DataFrame) -> DataFrame:
+def phash_pairs(hashes: DataFrame, bound_key: str | None = None) -> DataFrame:
     """pHash near-dup pairs: 4×16-bit blocks, Hamming ≤ 3."""
-    return hamming_blocked_pairs(hashes, "phash", PHASH_BLOCKS, 16, PHASH_HAM_MAX)
+    return hamming_blocked_pairs(
+        hashes, "phash", PHASH_BLOCKS, 16, PHASH_HAM_MAX, bound_key=bound_key
+    )
 
 
 def phash_keeper_stream(
@@ -267,7 +290,10 @@ def q_mm_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.29 → 0.93 s at sf0.1 — persist WINS for every multimodal pair
     query because the recomputed subtree is Python, not JVM)."""
     d = load_table(spark, "documents", sf_dir)
-    return phash_pairs(bmp_phash(documents_to_bmp(d)).persist())
+    return phash_pairs(
+        bmp_phash(documents_to_bmp(d)).persist(),
+        bound_key=f"phash_pairs:{sf_dir}",
+    )
 
 
 def _basis_values_sql() -> str:

@@ -220,7 +220,10 @@ def q_mm_video_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the 8-way band fan-out re-runs the 4-frame Python leg
     # otherwise (A/B r6: 4.79 -> 2.09 s at sf0.1)
     fp = video_fingerprint(documents_to_video(d)).persist()
-    return hamming_blocked_pairs(fp, "vfp", PHASH_BLOCKS, 16, PHASH_HAM_MAX)
+    return hamming_blocked_pairs(
+        fp, "vfp", PHASH_BLOCKS, 16, PHASH_HAM_MAX,
+        bound_key=f"videofp_pairs:{sf_dir}",
+    )
 
 
 def _vfp_cte() -> str:

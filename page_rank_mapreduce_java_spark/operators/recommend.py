@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from page_rank_mapreduce_java_spark.catalog import load_table
+from page_rank_mapreduce_java_spark.plans.pairsize import (
+    sum_sq_group_bound,
+    volume_repartition_pairs,
+)
 
 REC_TOP_K = 5  # neighbors kept per item
 REC_USER_N = 3  # recommendations per user
@@ -66,39 +70,35 @@ def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the ONE relation in this module that outgrows the session's shuffle
 # parallelism. The round-7 sf10 smoke (100× sf0.1 on one 8g JVM) OOMed
 # the pair sort's spill reader at 32 partitions (~2B pair rows / 32 per
-# task); partitioning the pair exchange by VOLUME instead bounds each
-# task's sort state regardless of corpus size. More partitions than
-# cores just queue — memory-bound sizing, not core-bound.
-REC_PAIR_ROWS_PER_PARTITION = 1_000_000
-REC_PAIR_MAX_PARTITIONS = 4096
+# task). The fix — volume-sized pair partitioning — was proven here and
+# lifted to plans/pairsize.py in round 8 as the shared chassis for every
+# Σ-bound pair exchange (basket pairs, lift pairs, hamming blocks).
 
 
-def item_item_topk(inter: DataFrame, k: int = REC_TOP_K) -> DataFrame:
+def item_item_topk(
+    inter: DataFrame, k: int = REC_TOP_K, bound_key: str | None = None
+) -> DataFrame:
     """Top-k neighbors per item by integer-exact cos² ranking, over
     pairs passing REC_MIN_SUPPORT (dot ≥ 2 — singleton co-occurrences
     never rank).
 
     Returns DataFrame[item_id, neighbor_id, dot, cos2_micro] — both
-    directions of each pair are ranked (a neighbor list per item)."""
-    spark = inter.sparkSession
+    directions of each pair are ranked (a neighbor list per item).
+
+    ``bound_key`` memoizes the pair-bound aggregate per session (see
+    plans/pairsize.py) so repeated plan builds over the same input —
+    explain sweeps, the registry preflight, the two uses inside
+    q_rec_user_topn — pay the eager bound job once (ADVICE r7)."""
     norms = inter.groupBy("item_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
-    # Volume-proportional pair partitioning (see REC_PAIR_* above): the
+    # Volume-proportional pair partitioning (plans/pairsize.py): the
     # explicit repartition on the pair key replaces (not adds to) the
     # groupBy exchange — hash partitioning on exactly the grouping key
     # satisfies the aggregate's distribution, so Catalyst elides its own
     # shuffle. Map-side combine loses nothing: a pair's contributions
     # come from different users, so same-key rows rarely co-locate
     # pre-shuffle anyway.
-    pair_bound = inter.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("b")
-    ).agg(F.sum(F.col("b") * F.col("b"))).head()[0] or 0
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pair_parts = max(
-        cap,
-        min(
-            REC_PAIR_MAX_PARTITIONS,
-            -(-int(pair_bound) // REC_PAIR_ROWS_PER_PARTITION),
-        ),
+    pair_bound = sum_sq_group_bound(
+        inter, ["user_id"], cache_key=bound_key
     )
     a, b = inter.alias("a"), inter.alias("b")
     dots = (
@@ -109,7 +109,9 @@ def item_item_topk(inter: DataFrame, k: int = REC_TOP_K) -> DataFrame:
             F.col("b.item_id").alias("neighbor_id"),
             (F.col("a.c") * F.col("b.c")).alias("cc"),
         )
-        .repartition(pair_parts, "item_id", "neighbor_id")
+    )
+    dots = (
+        volume_repartition_pairs(dots, ["item_id", "neighbor_id"], pair_bound)
         .groupBy("item_id", "neighbor_id")
         .agg(F.sum("cc").alias("dot"))
         .filter(F.col("dot") >= REC_MIN_SUPPORT)
@@ -144,7 +146,9 @@ def q_rec_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item top-5 most-similar items by implicit-feedback cosine,
     ranked without floating arithmetic (cos²·10⁶ via DECIMAL cross-
     multiplication) so both engines order identically."""
-    return item_item_topk(_interactions(spark, sf_dir))
+    return item_item_topk(
+        _interactions(spark, sf_dir), bound_key=f"rec_inter:{sf_dir}"
+    )
 
 
 def q_rec_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +158,7 @@ def q_rec_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     items the user already interacted with. Integer scores; ties break
     on item id."""
     inter = _interactions(spark, sf_dir)
-    sims = item_item_topk(inter)
+    sims = item_item_topk(inter, bound_key=f"rec_inter:{sf_dir}")
     cohort = inter.filter(F.col("user_id") % REC_USER_MOD == 0)
     scores = (
         cohort.join(sims, "item_id")

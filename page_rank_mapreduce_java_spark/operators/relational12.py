@@ -28,6 +28,10 @@ from page_rank_mapreduce_java_spark.catalog import load_table
 from page_rank_mapreduce_java_spark.functions.money import cents as _cents
 from page_rank_mapreduce_java_spark.functions.money import cents_sql
 from page_rank_mapreduce_java_spark.functions.text_queries2 import ln_int_sql
+from page_rank_mapreduce_java_spark.plans.pairsize import (
+    sum_sq_group_bound,
+    volume_repartition_pairs,
+)
 from page_rank_mapreduce_java_spark.operators.relational10 import (
     _DAILY_SQL,
     _daily_counts,
@@ -553,9 +557,10 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical on both engines; fully tie-broken LIMIT.
 
     Scale shape: the basket_pair_counts chassis (order-key self-join,
-    basket-size cap bounding pair volume at Σ min(basket, cap)²); the
-    marginal relation is part-sized and joins back on the part keys;
-    N is a 1-row broadcast."""
+    basket-size cap bounding pair volume at Σ min(basket, cap)², pair
+    exchange volume-sized via plans/pairsize.py); the marginal relation
+    is part-sized and joins back on the part keys; N is a 1-row
+    broadcast."""
     items = (
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
@@ -567,17 +572,27 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sz") <= LIFT_BASKET_CAP)
         .select("l_orderkey")
     )
+    pair_bound = sum_sq_group_bound(
+        items,
+        ["l_orderkey"],
+        size_cap=LIFT_BASKET_CAP,
+        cache_key=f"lift_pairs:{sf_dir}",
+    )
     i = items.join(keep, "l_orderkey")
     a, b = i.alias("a"), i.alias("b")
+    # Volume-sized pair exchange (plans/pairsize.py, the r7 sf10-OOM
+    # chassis): the Σ basket² pair stream gets a memory-sized exchange
+    # on the pair key; Catalyst elides the groupBy's own shuffle.
+    raw_pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
+        volume_repartition_pairs(raw_pairs, ["p1", "p2"], pair_bound)
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )

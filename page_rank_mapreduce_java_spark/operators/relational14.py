@@ -265,9 +265,9 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: median and MAD are exact percentiles over integer
     counts (bounded day relation); the modified z is one shared
-    terminal expression; the 3.5 threshold compares the ROUNDED
-    integer milli-z on both engines, so the flag set is identical even
-    at the boundary.
+    terminal expression; the 2.0 investigate-level threshold
+    (MAD_Z_THRESHOLD_MILLI) compares the ROUNDED integer milli-z on
+    both engines, so the flag set is identical even at the boundary.
 
     Scale shape: fact scan → bounded day series; two bounded
     percentile aggregates broadcast back."""

@@ -11,7 +11,10 @@ through the SAME shared terminal expression the int8 audit uses
 the Gram matrix is exact int64 sums of int8 products and every power-
 iteration normalize is a sign-split integer floor division (positive
 operands, so Spark's truncating ``div`` and DuckDB's flooring ``//``
-agree), never a float. No 2^53 ceiling anywhere at any scale factor.
+agree), never a float. No float 2^53 ceiling anywhere; the w = Σ g·val
+accumulator runs in DECIMAL(38,0) (mirroring DuckDB's HUGEINT
+promotion of SUM(BIGINT)), so exact cross-engine parity holds to
+~1e16 vectors — decimal38 overflow, not int64 wrap, is the bound.
 
 Scale shape: PCA's one heavy shuffle
 is the vec_id self-join building the bounded 64×64 Gram relation —
@@ -90,7 +93,17 @@ def q_embedding_pca_top_component(
                 F.col("j") == F.col("jj"),
             )
             .groupBy(F.col("i").alias("pos"))
-            .agg(F.sum(F.col("g") * F.col("val")).alias("w"))
+            # Accumulate w in DECIMAL(38,0), matching DuckDB's HUGEINT
+            # promotion of SUM(BIGINT): the g·val terms reach
+            # ~16129·n_vectors·1e6, so an int64 accumulator would wrap
+            # silently past ~1e7 vectors while the oracle promoted —
+            # decimal keeps cross-engine parity to ~1e16 vectors (the
+            # honest bound; decimal38 overflow, not 2^63).
+            .agg(
+                F.sum(
+                    F.col("g").cast("decimal(38,0)") * F.col("val")
+                ).alias("w")
+            )
         )
         m = w_.agg((F.max(F.abs(F.col("w"))).alias("m")))
         v = (

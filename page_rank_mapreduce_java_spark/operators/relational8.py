@@ -38,6 +38,10 @@ from pyspark.sql.window import Window
 from page_rank_mapreduce_java_spark.catalog import load_table
 from page_rank_mapreduce_java_spark.functions.hashes import md5_long, md5_long_sql
 from page_rank_mapreduce_java_spark.functions.money import cents as _cents, cents_sql
+from page_rank_mapreduce_java_spark.plans.pairsize import (
+    sum_sq_group_bound,
+    volume_repartition_pairs,
+)
 from page_rank_mapreduce_java_spark.operators.ranking import (
     global_ntile,
     grouped_topk_low_cardinality,
@@ -60,7 +64,13 @@ def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     items; the cap exists for the 100 TB case where one pathological
     basket (a crawler cart with 10⁵ items) would otherwise emit 10¹⁰
     pairs from a single row group. Support counting is one hash
-    aggregate on the (p1, p2) pair key with map-side partials.
+    aggregate on the (p1, p2) pair key with map-side partials; the pair
+    exchange is VOLUME-SIZED (plans/pairsize.py — the r7 sf10-OOM
+    chassis): Σ basket² rows through a fixed-width exchange is exactly
+    the class that blew item_item_topk's spill reader, so the (p1, p2)
+    exchange runs at clamp(Σ sz²/1e6, [shuffle.partitions, 4096])
+    partitions; Catalyst elides the groupBy's own shuffle and small
+    corpora keep the session-parallelism plan.
     """
     items = (
         load_table(spark, "lineitem", sf_dir)
@@ -73,17 +83,24 @@ def q_basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sz") <= BASKET_CAP)
         .select("l_orderkey")
     )
+    pair_bound = sum_sq_group_bound(
+        items,
+        ["l_orderkey"],
+        size_cap=BASKET_CAP,
+        cache_key=f"basket_pairs:{sf_dir}",
+    )
     i = items.join(keep, "l_orderkey")
     a, b = i.alias("a"), i.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
+        volume_repartition_pairs(pairs, ["p1", "p2"], pair_bound)
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= PAIR_MIN_SUPPORT)
     )

@@ -172,3 +172,26 @@ def test_audio_window_features_exact(spark):
     assert (rows[0].rms, rows[0].peak, rows[0].zero_crossings) == (1000, 1000, 0)
     assert (rows[1].rms, rows[1].peak, rows[1].zero_crossings) == (2000, 2000, 99)
     assert rows[0].n_samples == rows[1].n_samples == 100
+
+
+def test_audio_window_features_zero_sample_riff(spark):
+    """A RIFF payload with an empty data chunk emits NO windows (ADVICE
+    r7: the vectorized leg indexed starts[-1]/n_samp[-1] on empty
+    arrays — IndexError — where the old per-row loop emitted nothing)."""
+    import struct as st
+
+    from page_rank_mapreduce_java_spark.multimodal.media import (
+        audio_window_features,
+    )
+
+    sr = 1000
+    fmt = st.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", 0)
+    wav = b"RIFF" + st.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(9, "audio", bytearray(wav), (None, None, sr, 0))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,duration_ms:long>",
+    )
+    assert audio_window_features(df, 100).count() == 0

@@ -45,11 +45,17 @@ def main() -> int:
             f"SELECT MAX({col}) + 1 FROM read_parquet('{p(table)}')"
         ).fetchone()[0]
 
+    # Offsets come from the table that OWNS each key (ADVICE r7): a dim
+    # may hold keys above the max the facts reference (customers with no
+    # orders, parts never ordered) — offsetting by the fact-side max
+    # would make dim copies collide and silently fan out every dim join
+    # in the smoke. The fact FK columns reuse the dim-owned offset, so
+    # copies stay disjoint AND referentially intact.
     ok, ck, pk, sk = (
         off("orders", "o_orderkey"),
-        off("orders", "o_custkey"),
-        off("lineitem", "l_partkey"),
-        off("lineitem", "l_suppkey"),
+        off("customer", "c_custkey"),
+        off("part", "p_partkey"),
+        off("supplier", "s_suppkey"),
     )
     dk = off("documents", "doc_id")
 
