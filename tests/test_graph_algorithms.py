@@ -225,6 +225,26 @@ def test_scc_agrees_with_doubling_closure_query(spark, sf_dir):
     assert got == want
 
 
+def test_scc_agrees_on_dense_corpus_graph(spark, sf_dir):
+    """FW-BW (registered on the DENSE giant-SCC graph, round 8) agrees
+    with the doubling closure on that same graph."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import (
+        strongly_connected_components,
+    )
+    from page_rank_mapreduce_java_spark.graph.queries import (
+        directed_supplier_edges_dense,
+        doubling_scc,
+    )
+
+    dense = directed_supplier_edges_dense(spark, sf_dir)
+    want = {r.id: r.scc_id for r in doubling_scc(dense).collect()}
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(dense).collect()
+    }
+    assert got == want
+
+
 def test_lpa_two_cliques_bridged(spark):
     """Two 4-cliques joined by a single bridge edge: LPA must separate
     them (each clique converges to its own min label) even though
