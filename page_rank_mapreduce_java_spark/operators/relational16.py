@@ -189,9 +189,12 @@ def q_join_null_safe_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: Spark plans <=> as an ordinary hash-partitioned
     equi-join on the null-normalized key, so this shuffles once per
-    side like any join; the NULL bucket is a known single hot key —
-    at real scale the documented mitigation is the salted-join
-    chassis (plans/skew.py) on the coalesced key."""
+    side like any join; the NULL bucket is a known single hot key.
+    The mitigation is REGISTERED as the salted twin
+    (join_null_safe_nations_salted below, on the plans/skew.py
+    hot-key chassis) — run the twin when the NULL slice is heavy;
+    this plain form stays optimal on balanced keys (A/B in PERF.md
+    §r8)."""
     c = load_table(spark, "customer", sf_dir).select(
         F.when(F.col("c_custkey") % 97 != 0, F.col("c_nationkey")).alias(
             "c_nk"
@@ -208,6 +211,51 @@ def q_join_null_safe_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(F.col("nk").cast("long").alias("nk"), "n_pairs")
     )
+
+
+def q_join_null_safe_nations_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-key-salted twin of join_null_safe_nations (VERDICT r7
+    next #5): identical relation, but the single known hot key — the
+    NULL bucket, normalized to -1 — is routed through the targeted
+    salted-join chassis (plans/skew.salted_join_hot_keys). Customer
+    rows on the hot key get salt = xxhash64(c_custkey) % 16, the
+    matching supplier rows are replicated across the 16 salts, cold
+    nation keys pay nothing, and the join key becomes (nk, salt) — so
+    a 100 TB NULL-heavy column spreads its NULL×NULL product over 16
+    reducers instead of one straggler. The count aggregate partial-
+    aggregates map-side, so re-concentrating on nk after the join
+    moves only 16 partials per key.
+
+    Exactness: row-identical to the plain form by salted_join_hot_keys'
+    contract; same oracle SQL."""
+    from page_rank_mapreduce_java_spark.plans.skew import (
+        salted_join_hot_keys,
+    )
+
+    c = load_table(spark, "customer", sf_dir).select(
+        F.coalesce(
+            F.when(F.col("c_custkey") % 97 != 0, F.col("c_nationkey")),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("nk"),
+        "c_custkey",
+    )
+    s = load_table(spark, "supplier", sf_dir).select(
+        F.coalesce(
+            F.when(F.col("s_suppkey") % 89 != 0, F.col("s_nationkey")),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("nk")
+    )
+    hot = spark.createDataFrame([(-1,)], "nk long")
+    joined = salted_join_hot_keys(
+        c, s, "nk", hot, n_salts=16, salt_src=F.col("c_custkey")
+    )
+    return joined.groupBy("nk").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 NULL_SAFE_SQL = """
@@ -475,6 +523,7 @@ POISSON_DISPERSION_SQL = """
 QUERIES = {
     "embedding_pca_top_component": q_embedding_pca_top_component,
     "join_null_safe_nations": q_join_null_safe_nations,
+    "join_null_safe_nations_salted": q_join_null_safe_nations_salted,
     "interval_longest_gap": q_interval_longest_gap,
     "graph_lpa_modularity": q_graph_lpa_modularity,
     "events_poisson_dispersion": q_events_poisson_dispersion,
@@ -483,6 +532,7 @@ QUERIES = {
 ORACLES = {
     "embedding_pca_top_component": _pca_sql(),
     "join_null_safe_nations": NULL_SAFE_SQL,
+    "join_null_safe_nations_salted": NULL_SAFE_SQL,
     "interval_longest_gap": LONGEST_GAP_SQL,
     "graph_lpa_modularity": _lpa_modularity_sql(),
     "events_poisson_dispersion": POISSON_DISPERSION_SQL,
