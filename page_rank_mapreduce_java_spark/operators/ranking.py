@@ -41,11 +41,28 @@ def global_row_number(
     # monotonically_increasing_id is non-deterministic to Catalyst, so the
     # projection cannot be pushed below the sort — the id is assigned in
     # sorted order, which is what makes the arithmetic below valid.
+    # The persist() pins ONE materialized range partitioning (and the
+    # _mid/_pid assignment on it) before the relation fans out to the
+    # data branch and the counts branch: both branches resolve to the
+    # SAME InMemoryRelation by plan identity, whose child exchange
+    # executes (and samples range boundaries) exactly once. Without it
+    # Catalyst plans TWO independent range exchanges (column pruning
+    # makes the subtrees unequal, so ReusedExchange never fires —
+    # measured: 2 exchanges, 0 reused), each sampling its OWN
+    # boundaries; when the samples disagree the offsets are joined
+    # against a different partition population and ranks are silently
+    # corrupt (observed on the running-max sibling: 420/10000 wrong
+    # rows). Also halves the fact-scale shuffle count. persist (not
+    # localCheckpoint) so spark.catalog.clearCache() releases the
+    # blocks between queries — the repo-wide storage convention
+    # (measured: lazy-localCheckpoint blocks survive clearCache and
+    # pollute a long session's storage pool; bench.py §r8 A/B).
     d = (
         df.repartitionByRange(n_parts, *order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -288,9 +305,13 @@ def global_running_sum(
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    # persist(): pin one materialized partitioning for both branches
+    # (see global_row_number — same two-exchange hazard; clearCache
+    # releases the blocks).
     d = (
         df.repartitionByRange(n_parts, *order)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_in = (
         Window.partitionBy("_pid")
@@ -332,9 +353,13 @@ def global_running_sums(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     outs = out_cols or [f"{c}_cum" for c in value_cols]
+    # persist(): pin one materialized partitioning for both branches
+    # (see global_row_number — same two-exchange hazard; clearCache
+    # releases the blocks).
     d = (
         df.repartitionByRange(n_parts, *order)
         .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_in = (
         Window.partitionBy("_pid")
@@ -363,4 +388,66 @@ def global_running_sums(
         )
     return d.drop(
         "_pid", *[f"_lc_{o}" for o in outs], *[f"_off_{o}" for o in outs]
+    )
+
+
+def global_running_max(
+    df: DataFrame,
+    value_col: str,
+    order: list[Column],
+    out_col: str = "runmax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running MAX over a global total order, scalably — the prefix-max
+    sibling of :func:`global_running_sum` (same chassis: range partition
+    → per-partition window max → broadcast per-prior-partition offsets,
+    combined with GREATEST). Inclusive of the current row. The
+    watermark-simulation primitive: wm(row) = max event time seen at or
+    before the row in arrival order.
+
+    ``order`` must be a total order; ``value_col`` must be integer
+    (epoch seconds / cents convention).
+
+    The range-partitioned relation is ``persist()``-ed before it fans
+    out to the window branch and the offsets branch.
+    Without the cut, Catalyst plans TWO independent
+    ``Exchange rangepartitioning`` subtrees (column pruning makes them
+    unequal, so ReusedExchange never fires — measured: 2 exchanges,
+    0 reused), and each samples its OWN range boundaries; when the
+    samples disagree, the offsets join keys partition populations from
+    a different partitioning and the running max is silently wrong
+    (observed: 420/10000 corrupt rows at sf0.01, values past the
+    provable lateness bound). The persist pins ONE materialized
+    partitioning for both branches — deterministic by construction —
+    and halves the fact-scale shuffle count."""
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    d = (
+        df.repartitionByRange(n_parts, *order)
+        .persist()
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_lmax", F.max(value_col).over(w_in))
+    totals = d.groupBy("_pid").agg(F.max(value_col).alias("_ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.max("_ptot").over(w_off).alias("_off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.col("_lmax"),
+                F.coalesce(F.col("_off"), F.col("_lmax")),
+            ).cast("long"),
+        )
+        .drop("_pid", "_lmax", "_off")
     )

@@ -99,15 +99,28 @@ def test_banded_range_count_matches_window(spark):
 
 
 def test_ranking_plan_has_single_full_data_exchange(spark):
-    """The ranked output must not funnel the data through one task: no
-    empty-partition Window over the input, one range exchange."""
+    """The ranked output must not funnel the data through one task, and
+    both chassis branches must read ONE pinned partitioning: the
+    persist() caches the range-partitioned relation, so the data branch
+    and the counts branch both scan the SAME InMemoryRelation, whose
+    child contains the plan's ONLY range exchange (one boundary
+    sampling — no independent re-sampling, no silent rank corruption).
+    """
     from page_rank_mapreduce_java_spark.plans.explain import formatted_plan
 
     import re
 
     df = global_row_number(_sample(spark), [F.asc("v"), F.asc("id")])
     plan = formatted_plan(df)
-    assert "rangepartitioning" in plan.lower()
+    # Node details print once per unique node id: a shared cached child
+    # yields exactly ONE rangepartitioning detail. Two independent
+    # exchanges (the pre-r8 hazard) would print two.
+    assert plan.lower().count("rangepartitioning") == 1, plan
+    assert "InMemoryRelation" in plan
+    # Both branches must reference the same cached subtree: every
+    # InMemoryRelation rendering is followed by the same child node id.
+    kids = re.findall(r"InMemoryRelation \(\d+\)\n\s*[:+ -]*(\w+) \((\d+)\)", plan)
+    assert len({k[1] for k in kids}) == 1, kids
     # The only Window node is the offsets prefix-sum over per-partition
     # counts (one row per partition), never the full input.
     assert len(re.findall(r"(?m)^\(\d+\) Window", plan)) <= 1
