@@ -131,6 +131,7 @@ def full_registry() -> tuple[dict, dict]:
         relational14,
         relational15,
         relational16,
+        relational17,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -160,6 +161,7 @@ def full_registry() -> tuple[dict, dict]:
         relational14,
         relational15,
         relational16,
+        relational17,
         recommend,
         dedup_queries,
         sim_queries,

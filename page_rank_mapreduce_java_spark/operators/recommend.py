@@ -175,6 +175,34 @@ def q_rec_user_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rec_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage of the item-item recommender: what fraction of
+    interacted-with items appear in ANY top-k neighbor list (the
+    standard beyond-accuracy metric — a recommender that only ever
+    surfaces bestsellers has high precision and terrible coverage).
+    One row: (n_items, n_recommended, coverage_ppm).
+
+    Scale shape: the certified item_item_topk chassis (volume-sized
+    pair exchange, shared memoized bound) plus two distinct-counts on
+    the item key; the final combine is a 1-row broadcast cross."""
+    inter = _interactions(spark, sf_dir)
+    sims = item_item_topk(inter, bound_key=f"rec_inter:{sf_dir}")
+    items = inter.select("item_id").distinct()
+    reco = sims.select(F.col("neighbor_id").alias("item_id")).distinct()
+    n_items = items.agg(F.count(F.lit(1)).alias("n_items"))
+    n_rec = (
+        reco.join(items, "item_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_recommended"))
+    )
+    return n_items.crossJoin(F.broadcast(n_rec)).select(
+        "n_items",
+        "n_recommended",
+        F.expr(
+            "CAST(n_recommended * 1000000 div n_items AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )
+
+
 _INTER_CTE = """
     inter AS (
       SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
@@ -232,12 +260,29 @@ USER_TOPN_SQL = f"""
     WHERE rn <= {REC_USER_N}
 """
 
+CATALOG_COVERAGE_SQL = f"""
+    WITH {_INTER_CTE},
+    {_SIMS_CTE},
+    items AS (SELECT DISTINCT item_id FROM inter),
+    reco AS (SELECT DISTINCT neighbor_id AS item_id FROM sims),
+    a AS (SELECT COUNT(*) AS n_items FROM items),
+    b AS (SELECT COUNT(*) AS n_recommended FROM reco
+          WHERE item_id IN (SELECT item_id FROM items))
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_recommended AS BIGINT) AS n_recommended,
+           CAST(n_recommended * 1000000 // n_items AS BIGINT)
+               AS coverage_ppm
+    FROM a, b
+"""
+
 QUERIES = {
     "rec_item_item_topk": q_rec_item_item_topk,
     "rec_user_topn": q_rec_user_topn,
+    "rec_catalog_coverage": q_rec_catalog_coverage,
 }
 
 ORACLES = {
     "rec_item_item_topk": ITEM_ITEM_SQL,
     "rec_user_topn": USER_TOPN_SQL,
+    "rec_catalog_coverage": CATALOG_COVERAGE_SQL,
 }

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from page_rank_mapreduce_java_spark.catalog import load_table
-from page_rank_mapreduce_java_spark.functions.vectors import cosine_sql
+from page_rank_mapreduce_java_spark.functions.vectors import cosine, cosine_sql
 from page_rank_mapreduce_java_spark.similarity.ann import (
     brute_force_topk,
     ivf_topk,
@@ -738,6 +738,139 @@ NORM_PCT_SQL = """
 """
 
 
+# Fixed-size pairwise sample for the cosine histogram: a mod-based
+# sample would GROW with the corpus and make the pair set quadratic at
+# 100 TB; a fixed id cap keeps the pair volume constant (~131k pairs)
+# at every scale factor.
+EMB_HIST_SAMPLE = 512
+
+
+def q_embedding_cosine_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise-cosine distribution of a fixed 512-vector sample,
+    bucketed by 0.1-wide bins — the corpus-geometry diagnostic read
+    before choosing dedup/ANN thresholds (a mass near 1.0 means
+    near-dup pressure; mass near 0 means well-spread embeddings).
+
+    Exactness: the bucket comes from integer flooring of cos·10⁶ via
+    the SAME sign-split CASE on both engines (integer division
+    truncates toward zero on Spark `div` AND DuckDB BIGINT `//` —
+    measured; DuckDB floors only for doubles), never from flooring a
+    float — ROUND(cos·1e6) is the engine-parity contract the certified
+    ANN queries already rely on.
+
+    Scale shape: the pair generator is a broadcast self-join of a
+    CONSTANT-size sample (bounded-cross convention) → one bounded
+    aggregate; the corpus scan is a pushed-down id filter."""
+    e = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") < EMB_HIST_SAMPLE
+    )
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = F.broadcast(a).join(b, F.col("ia") < F.col("ib"))
+    cm = F.round(cosine(F.col("va"), F.col("vb")) * 1e6).cast("long")
+    return (
+        pairs.select(cm.alias("cm"))
+        .select(
+            F.expr(
+                "CAST(CASE WHEN cm < 0 THEN -((-cm + 99999) div 100000)"
+                " ELSE cm div 100000 END AS BIGINT)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+COSINE_HIST_SQL = f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {EMB_HIST_SAMPLE}),
+    pairs AS (
+      SELECT CAST(ROUND({cosine_sql('a.embedding', 'b.embedding')} * 1e6, 0)
+                  AS BIGINT) AS cm
+      FROM s a JOIN s b ON a.vec_id < b.vec_id)
+    SELECT CAST(CASE WHEN cm < 0 THEN -((-cm + 99999) // 100000)
+                     ELSE cm // 100000 END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+"""
+
+
+# Probe counts swept by the recall curve (max must stay <= IVF_CENTROIDS).
+RECALL_PROBES = (1, 2, 4, 8)
+
+
+def q_ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF as a function of n_probe ∈ {1,2,4,8} against the
+    exact brute-force top-10 — the tuning curve an ANN deployment reads
+    to pick its recall/latency point (VERDICT r7 next #8's suggested
+    sweep). One row per probe count: (n_probe, hits, base, recall_ppm).
+
+    The quantizer trains ONCE (shared centroids + cell assignment);
+    each probe level re-ranks the SAME candidate relation filtered to
+    probe rank ≤ n_probe — 4 windows over a candidate set bounded by
+    |queries| × corpus/cells × probes, never 4 retrainings.
+
+    Scale shape: training/assignment is the certified ann_ivf_topk
+    chassis (broadcast centroids, one narrow corpus pass); the brute
+    baseline broadcasts 8 query vectors; the sweep relations are
+    1-row aggregates unioned."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from page_rank_mapreduce_java_spark.similarity.ann import ivf_assign
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    brute = brute_force_topk(e, q, k=TOP_K).select("query_id", "neighbor_id")
+    cent = kmeans_train(e, k=IVF_CENTROIDS, iters=KMEANS_ITERS)
+    assign = ivf_assign(e, cent)
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qvec"), F.col("cvec"))), F.asc("centroid_id")
+    )
+    probes = (
+        qv.join(F.broadcast(cent), F.lit(True))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= max(RECALL_PROBES))
+        .select("query_id", "qvec", "centroid_id", "prn")
+    )
+    members = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec")
+    ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    cand = probes.join(members, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    parts = []
+    for np_ in RECALL_PROBES:
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc(cosine(F.col("qvec"), F.col("nvec"))), F.asc("neighbor_id")
+        )
+        top = (
+            cand.filter(F.col("prn") <= np_)
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        parts.append(
+            top.join(brute, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(np_).cast("long").alias("n_probe"), "hits")
+        )
+    sweep = reduce(lambda x, y: x.unionByName(y), parts)
+    base = brute.agg(F.count(F.lit(1)).alias("base"))
+    return sweep.crossJoin(F.broadcast(base)).select(
+        "n_probe",
+        "hits",
+        "base",
+        F.expr("CAST(hits * 1000000 div base AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "embedding_centroids": q_embedding_centroids,
@@ -752,9 +885,72 @@ QUERIES = {
     "ann_ivfpq_serve_topk": q_ann_ivfpq_serve_topk,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_norm_percentiles": q_embedding_norm_percentiles,
+    "embedding_cosine_histogram": q_embedding_cosine_histogram,
+    "ann_ivf_recall_sweep": q_ann_ivf_recall_sweep,
 }
 
 _KMEANS_CTES, _KMEANS_FINAL = kmeans_sql(k=IVF_CENTROIDS, iters=KMEANS_ITERS)
+
+
+def _ivf_recall_sql() -> str:
+    """DuckDB mirror of q_ann_ivf_recall_sweep: the certified
+    ann_ivf_topk CTE chain (kmeans → cells → probes, probe rank kept),
+    the brute baseline, and one scalar hit-count per probe level."""
+    probe_max = max(RECALL_PROBES)
+    per = " UNION ALL ".join(
+        f"""
+      SELECT CAST({np} AS BIGINT) AS n_probe, (
+        SELECT COUNT(*) FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY {cosine_sql('q.embedding', 'n.embedding')} DESC,
+                            c.neighbor_id ASC) AS rn
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id
+          WHERE c.prn <= {np}) t
+        JOIN brute b ON t.query_id = b.query_id
+                    AND t.neighbor_id = b.neighbor_id
+        WHERE t.rn <= {TOP_K}) AS hits"""
+        for np in RECALL_PROBES
+    )
+    return f"""
+    WITH {_KMEANS_CTES},
+    cent AS (SELECT centroid_id, cvec FROM {_KMEANS_FINAL}),
+    assign AS (
+      SELECT vec_id AS neighbor_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cosine_sql('e.embedding', 'c.cvec')} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid_id, rn AS prn FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cosine_sql('q.embedding', 'c.cvec')} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {N_QUERY_VECS}) WHERE rn <= {probe_max}),
+    cand AS (
+      SELECT p.query_id, a.neighbor_id, p.prn
+      FROM probes p JOIN assign a USING (centroid_id)
+      WHERE p.query_id != a.neighbor_id),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cosine_sql('q.embedding', 'c.embedding')} DESC,
+                          c.vec_id ASC) AS rn
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}) WHERE rn <= {TOP_K}),
+    base AS (SELECT COUNT(*) AS base FROM brute),
+    sweep AS ({per})
+    SELECT n_probe, CAST(hits AS BIGINT) AS hits,
+           CAST(base AS BIGINT) AS base,
+           CAST(hits * 1000000 // base AS BIGINT) AS recall_ppm
+    FROM sweep, base
+    """
 
 ORACLES = {
     "embedding_quantize_int8": QUANTIZE_SQL,
@@ -845,4 +1041,6 @@ ORACLES = {
     # identical output to ann_ivfpq_topk: deterministic training, the
     # serving variant only changes WHERE centroids/codebook/codes come from
     "ann_ivfpq_serve_topk": _ivfpq_topk_sql(),
+    "embedding_cosine_histogram": COSINE_HIST_SQL,
+    "ann_ivf_recall_sweep": _ivf_recall_sql(),
 }

@@ -1,0 +1,148 @@
+"""Round-8 additions: the global running-max chassis, the late-data
+audit family, drawdown, cosine histogram, IVF recall sweep, catalog
+coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_global_running_max_matches_naive(spark):
+    """The two-pass chassis must equal the single-window running max on
+    a small relation, across partition counts."""
+    from pyspark.sql.window import Window
+
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        global_running_max,
+    )
+
+    rows = [(i, (i * 37) % 23) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.rm
+        for r in global_running_max(
+            df, "v", [F.col("k")], out_col="rm", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.rm
+        for r in df.withColumn("rm", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_running_max_single_partition(spark):
+    from page_rank_mapreduce_java_spark.operators.ranking import (
+        global_running_max,
+    )
+
+    df = spark.createDataFrame([(1, 5), (2, 3), (3, 9)], ["k", "v"])
+    out = {
+        r.k: r.rm
+        for r in global_running_max(
+            df, "v", [F.col("k")], out_col="rm", num_partitions=1
+        ).collect()
+    }
+    assert out == {1: 5, 2: 5, 3: 9}
+
+
+def test_watermark_loss_curve_monotone(spark, sf_dir):
+    """Larger watermark delays can only drop FEWER events, and delay 0
+    drops exactly the strictly-late events of the audit."""
+    from page_rank_mapreduce_java_spark.operators.relational17 import (
+        q_events_late_arrival_audit,
+        q_events_watermark_loss_curve,
+    )
+
+    curve = {
+        r.delay_s: r.dropped
+        for r in q_events_watermark_loss_curve(spark, sf_dir).collect()
+    }
+    delays = sorted(curve)
+    assert all(
+        curve[a] >= curve[b] for a, b in zip(delays, delays[1:])
+    )
+    audit = q_events_late_arrival_audit(spark, sf_dir).agg(
+        F.sum("n_late")
+    ).head()[0]
+    assert curve[0] == audit
+    # the injected skew must actually produce late data (a forever-zero
+    # audit is no evidence)
+    assert audit > 0
+
+
+def test_supplier_drawdown_crafted(spark):
+    """Monthly series 100, 300, 120, 250, 40 → peak 300, trough 40,
+    max drawdown 260."""
+    from page_rank_mapreduce_java_spark.operators.relational17 import (
+        DRAWDOWN_SQL,  # noqa: F401 — imported to assert it renders
+    )
+    from pyspark.sql.window import Window
+
+    rows = [(1, m, y) for m, y in enumerate([100, 300, 120, 250, 40])]
+    monthly = spark.createDataFrame(rows, ["s", "m", "y"])
+    w = (
+        Window.partitionBy("s")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = monthly.withColumn("dd", F.max("y").over(w) - F.col("y"))
+    assert dd.agg(F.max("dd")).head()[0] == 260
+
+
+def test_cosine_histogram_buckets_bounded(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.similarity.queries import (
+        EMB_HIST_SAMPLE,
+        q_embedding_cosine_histogram,
+    )
+
+    rows = q_embedding_cosine_histogram(spark, sf_dir).collect()
+    assert rows, "histogram must not be empty"
+    n = sum(r.n_pairs for r in rows)
+    sample = min(
+        EMB_HIST_SAMPLE,
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count(),
+    )
+    assert n == sample * (sample - 1) // 2
+    assert all(-10 <= r.bucket <= 10 for r in rows)
+
+
+def test_ivf_recall_sweep_shape(spark, sf_dir):
+    """Recall must be monotone in n_probe and reach 1.0 when probing
+    8 of 16 cells... is not guaranteed — but hits can never exceed
+    base, and more probes can never lose hits."""
+    from page_rank_mapreduce_java_spark.similarity.queries import (
+        q_ann_ivf_recall_sweep,
+    )
+
+    rows = {
+        r.n_probe: r for r in q_ann_ivf_recall_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    probes = sorted(rows)
+    assert all(
+        rows[a].hits <= rows[b].hits for a, b in zip(probes, probes[1:])
+    )
+    assert all(0 <= r.hits <= r.base for r in rows.values())
+    assert all(r.recall_ppm == r.hits * 10**6 // r.base for r in rows.values())
+
+
+def test_rec_catalog_coverage_bounds(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.recommend import (
+        q_rec_catalog_coverage,
+    )
+
+    row = q_rec_catalog_coverage(spark, sf_dir).head()
+    assert 0 < row.n_recommended <= row.n_items
+    assert row.coverage_ppm == row.n_recommended * 10**6 // row.n_items
+
+
+def test_freshness_lags_nonnegative(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational17 import (
+        q_events_freshness_by_type,
+    )
+
+    rows = q_events_freshness_by_type(spark, sf_dir).collect()
+    assert rows and min(r.lag_s for r in rows) == 0
+    assert all(r.lag_s >= 0 for r in rows)
