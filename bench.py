@@ -117,6 +117,15 @@ HEADLINE = [
     "text_pmi_top_pairs",
     "sketch_kmv_intersection",
     "embedding_quantize_int8",
+    # round 8 in-round registrations (the heavy members: the IVF
+    # recall sweep shares kmeans training with the serve paths; the
+    # late-arrival audit rides the running-max chassis; the gini runs
+    # the two-pass ranking over the token-count relation; popularity
+    # lift re-executes the item-item pair chassis)
+    "ann_ivf_recall_sweep",
+    "events_late_arrival_audit",
+    "text_doc_len_gini",
+    "rec_popularity_lift",
 ]
 
 # Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows

@@ -132,6 +132,7 @@ def full_registry() -> tuple[dict, dict]:
         relational15,
         relational16,
         relational17,
+        relational18,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -162,6 +163,7 @@ def full_registry() -> tuple[dict, dict]:
         relational15,
         relational16,
         relational17,
+        relational18,
         recommend,
         dedup_queries,
         sim_queries,

@@ -146,3 +146,54 @@ def test_freshness_lags_nonnegative(spark, sf_dir):
     rows = q_events_freshness_by_type(spark, sf_dir).collect()
     assert rows and min(r.lag_s for r in rows) == 0
     assert all(r.lag_s >= 0 for r in rows)
+
+
+def test_throughput_percentiles_bounds(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational18 import (
+        q_events_throughput_percentiles,
+    )
+
+    row = q_events_throughput_percentiles(spark, sf_dir).head()
+    assert row.n_minutes > 0
+    assert 0 < row.p50_epm <= row.p95_epm <= row.max_epm
+
+
+def test_ivf_cell_balance_conservation(spark, sf_dir):
+    """Cell sizes must sum to the corpus size and shares to ~1e6."""
+    from page_rank_mapreduce_java_spark.operators.relational18 import (
+        q_ann_ivf_cell_balance,
+    )
+
+    rows = q_ann_ivf_cell_balance(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == n
+    share = sum(r.share_ppm for r in rows)
+    # floor-division undershoot bounded by one ppm per cell
+    assert 10**6 - len(rows) <= share <= 10**6
+
+
+def test_popularity_lift_bounds(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational18 import (
+        q_rec_popularity_lift,
+    )
+
+    row = q_rec_popularity_lift(spark, sf_dir).head()
+    assert row.rec_n > 0 and row.base_n > 0
+    # the recommender can only surface items that exist in the catalog;
+    # mean popularities are positive
+    assert row.lift_ppm > 0
+    assert row.lift_ppm == (
+        row.rec_pop_sum * row.base_n * 10**6
+    ) // (row.rec_n * row.base_pop_sum)
+
+
+def test_doc_len_gini_range(spark, sf_dir):
+    from page_rank_mapreduce_java_spark.operators.relational18 import (
+        q_text_doc_len_gini,
+    )
+
+    rows = q_text_doc_len_gini(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gini_ppm < 10**6
+        assert r.n_docs > 0 and r.total_tokens >= r.n_docs
