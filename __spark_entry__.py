@@ -132,12 +132,19 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 
 # Queries registered too late for the current round's audit window are
 # deferred here so the window stays spent on the recorded backlog.
-# Round 6: EMPTY (VERDICT r5 next #1) — the nine round-5 deferrals
-# (square count, unigram NLL, trigram paths, phash/audio keepers,
-# IVF-PQ, vwap, sampled closeness, grouped p90) are "never" in the
-# ledger, so they lead the window as audit group 0 and earn their
-# driver greens this round.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
+# Round 8: the prior chassis edits (ranking.py range-partition pin,
+# SCC rework, pairsize lift) hash-staled 32 greens, and 13 new
+# registrations were already recorded — 45/50 demand before the
+# batch-19 additions. Five of the ten batch-19 queries fill the window
+# to exactly 50; these five defer to round 9 (they are oracle-checked
+# locally — tools/check_oracle.py sf0.01 — just not driver-slotted).
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
+    "lineitem_rolling_corr",
+    "text_token_fertility",
+    "sample_class_balanced",
+    "dq_price_consistency",
+    "orders_bootstrap_ci_mean",
+})
 
 
 def _audit_order(q: dict, o: dict) -> list[str]:

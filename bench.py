@@ -126,6 +126,15 @@ HEADLINE = [
     "events_late_arrival_audit",
     "text_doc_len_gini",
     "rec_popularity_lift",
+    # round 8 batch-19 registrations (the heavy members: KM survival
+    # runs the per-customer LEAD window over the fact table; the lift
+    # table cuts NTILE(10) on the two-pass global-ranking chassis;
+    # rule confidence re-runs the volume-sized basket pair exchange;
+    # the silhouette shares kmeans training with the IVF family)
+    "survival_kaplan_meier",
+    "orders_lift_gains_deciles",
+    "basket_rule_confidence",
+    "embedding_silhouette",
 ]
 
 # Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows

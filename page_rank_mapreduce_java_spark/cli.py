@@ -133,6 +133,7 @@ def full_registry() -> tuple[dict, dict]:
         relational16,
         relational17,
         relational18,
+        relational19,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -164,6 +165,7 @@ def full_registry() -> tuple[dict, dict]:
         relational16,
         relational17,
         relational18,
+        relational19,
         recommend,
         dedup_queries,
         sim_queries,

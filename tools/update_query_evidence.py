@@ -109,7 +109,16 @@ def main() -> int:
             groups[3].append(n)
         elif ev["driver"] == "never":
             groups[0].append(n)
-        elif ev["driver"].startswith("fail") or ev["hash"] == "STALE":
+        elif (
+            ev["driver"].startswith("fail")
+            or ev["hash"] == "STALE"
+            # hash-stale: a kept pin no longer matching current source
+            # (an engine-helper edit staled this green). Without this
+            # recomputation the summary undercounts window demand — in
+            # round 8 it printed 13/50 while the true demand was 45/50
+            # (32 chassis-staled greens invisible to the old report).
+            or ev["hash"] != entrymod.query_hash(q[n], o.get(n))
+        ):
             groups[1].append(n)
         else:
             groups[2].append(n)
