@@ -139,11 +139,22 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # to exactly 50; these five defer to round 9 (they are oracle-checked
 # locally — tools/check_oracle.py sf0.01 — just not driver-slotted).
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
+    # batch-19 tail (5 of 10; the other 5 hold window slots this round)
     "lineitem_rolling_corr",
     "text_token_fertility",
     "sample_class_balanced",
     "dq_price_consistency",
     "orders_bootstrap_ci_mean",
+    # batch 20, registered entirely after the window filled — round 9
+    # MUST clear this set (r6 precedent: the r5 deferrals led the next
+    # window as audit group 0)
+    "text_bigram_nll_interp",
+    "sample_temperature_mixture",
+    "supplier_concentration_cr4",
+    "join_asof_forward",
+    "dedup_minhash_threshold_curve",
+    "events_hurst_rs",
+    "embedding_knn_label_accuracy",
 })
 
 

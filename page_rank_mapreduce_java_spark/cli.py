@@ -134,6 +134,7 @@ def full_registry() -> tuple[dict, dict]:
         relational17,
         relational18,
         relational19,
+        relational20,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -166,6 +167,7 @@ def full_registry() -> tuple[dict, dict]:
         relational17,
         relational18,
         relational19,
+        relational20,
         recommend,
         dedup_queries,
         sim_queries,
