@@ -135,6 +135,15 @@ HEADLINE = [
     "orders_lift_gains_deciles",
     "basket_rule_confidence",
     "embedding_silhouette",
+    # round 8 batch-20 registrations (the heavy members: interpolated
+    # NLL runs the token-grain model joins; the threshold curve
+    # re-executes the banded candidate + signature joins; kNN accuracy
+    # rides the brute-force broadcast chassis; the forward as-of runs
+    # the union-sort exchange over orders+events)
+    "text_bigram_nll_interp",
+    "dedup_minhash_threshold_curve",
+    "embedding_knn_label_accuracy",
+    "join_asof_forward",
 ]
 
 # Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows

@@ -96,6 +96,24 @@ QUERIES_UNDER_TEST = [
     "orders_abc_classification",
     "text_vocab_growth",
     "orders_updown_streaks",
+    # round-8 batches 19/20: the ln-contract survival curve and
+    # interpolated NLL, the ntile lift chassis, the rolling-corr
+    # terminal sqrt, hash-ranked selections (balanced sample,
+    # temperature mixture), the volume-sized rule-confidence pair
+    # exchange, silhouette's collect_list (order-insensitive folds
+    # only), the reversed-time as-of arbitration, the Hurst block
+    # statistics, and the kNN vote argmax tiebreak
+    "survival_kaplan_meier",
+    "orders_lift_gains_deciles",
+    "lineitem_rolling_corr",
+    "embedding_silhouette",
+    "sample_class_balanced",
+    "basket_rule_confidence",
+    "text_bigram_nll_interp",
+    "sample_temperature_mixture",
+    "join_asof_forward",
+    "events_hurst_rs",
+    "embedding_knn_label_accuracy",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
