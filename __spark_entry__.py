@@ -155,6 +155,13 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "dedup_minhash_threshold_curve",
     "events_hurst_rs",
     "embedding_knn_label_accuracy",
+    # batch 21, same situation
+    "agg_trimmed_mean",
+    "orders_holt_linear",
+    "text_rake_keywords",
+    "embedding_centroid_drift",
+    "basket_itemset3_support",
+    "ann_pq_distortion",
 })
 
 

@@ -135,6 +135,7 @@ def full_registry() -> tuple[dict, dict]:
         relational18,
         relational19,
         relational20,
+        relational21,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -168,6 +169,7 @@ def full_registry() -> tuple[dict, dict]:
         relational18,
         relational19,
         relational20,
+        relational21,
         recommend,
         dedup_queries,
         sim_queries,

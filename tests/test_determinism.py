@@ -114,6 +114,15 @@ QUERIES_UNDER_TEST = [
     "join_asof_forward",
     "events_hurst_rs",
     "embedding_knn_label_accuracy",
+    # round-8 batch 21: the trim cut on the ranking chassis, RAKE's
+    # islands segmentation + collect_list phrase render, half-corpus
+    # kmeans pairing, the cube-bound triple exchange, and the PQ
+    # argmin assignment feeding the distortion mean
+    "agg_trimmed_mean",
+    "text_rake_keywords",
+    "embedding_centroid_drift",
+    "basket_itemset3_support",
+    "ann_pq_distortion",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
