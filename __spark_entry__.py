@@ -162,6 +162,14 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "embedding_centroid_drift",
     "basket_itemset3_support",
     "ann_pq_distortion",
+    # batch 22, same situation
+    "lineitem_spearman",
+    "orders_theil_sen_monthly",
+    "rec_user_user_topk",
+    "events_dow_eta2",
+    "text_hapax_rate",
+    "text_simpson_diversity",
+    "sample_systematic_orders",
 })
 
 

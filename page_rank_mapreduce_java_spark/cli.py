@@ -136,6 +136,7 @@ def full_registry() -> tuple[dict, dict]:
         relational19,
         relational20,
         relational21,
+        relational22,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -170,6 +171,7 @@ def full_registry() -> tuple[dict, dict]:
         relational19,
         relational20,
         relational21,
+        relational22,
         recommend,
         dedup_queries,
         sim_queries,
