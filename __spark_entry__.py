@@ -170,6 +170,19 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "text_hapax_rate",
     "text_simpson_diversity",
     "sample_systematic_orders",
+    # batch 23, same situation
+    "kruskal_wallis_value_by_type",
+    "text_yule_k",
+    "events_record_days",
+    "rec_exposure_gini",
+    "orders_interpurchase_median",
+    "embedding_dim_variance",
+    # batch 24, same situation
+    "dedup_cluster_size_histogram",
+    "text_term_burstiness",
+    "graph_transitivity_global",
+    "events_dwell_time_by_type",
+    "stream_hourly_active_users",
 })
 
 

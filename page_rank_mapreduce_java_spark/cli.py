@@ -137,6 +137,8 @@ def full_registry() -> tuple[dict, dict]:
         relational20,
         relational21,
         relational22,
+        relational23,
+        relational24,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -172,6 +174,8 @@ def full_registry() -> tuple[dict, dict]:
         relational20,
         relational21,
         relational22,
+        relational23,
+        relational24,
         recommend,
         dedup_queries,
         sim_queries,

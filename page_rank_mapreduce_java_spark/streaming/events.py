@@ -68,6 +68,42 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def hourly_active_users(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exact distinct users per tumbling hour — the DAU-curve primitive
+    at stream granularity. Two chained stateful aggregations (the
+    Spark-4 multiple-stateful-operator path): the first collapses to
+    one row per (hour window, user) — bounded state, each key expires
+    with the watermark — the second counts per window. Identical code
+    path in batch (both aggregations are ordinary groupBys there).
+
+    Scale shape: both shuffles are keyed on (window, user) then window
+    with map-side partial aggregation; state never exceeds the live
+    watermark horizon × active-user count."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    per_user = df.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    # Downstream aggregation re-windows on window_time(w) — the
+    # SPARK-40925 pattern that lets the watermark propagate through
+    # chained stateful operators (grouping the raw struct trips the
+    # global-watermark correctness check). Identical result in batch:
+    # window_time is w.end − 1µs, which re-buckets to the same hour.
+    return (
+        per_user.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.date_format(F.col("w2.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "active_users",
+        )
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Gap-based session windows per user (streaming-native sessionization;
     batch equivalent is the lag-gap query in operators/relational.py)."""

@@ -16,6 +16,7 @@ from page_rank_mapreduce_java_spark.catalog import load_table
 from page_rank_mapreduce_java_spark.streaming.events import (
     dedup_stream,
     enrich_by_segment,
+    hourly_active_users,
     session_windows,
 )
 
@@ -41,10 +42,17 @@ def q_events_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.hourly_active_users (chained stateful aggregations) in
+    batch: exact distinct users per tumbling hour."""
+    return hourly_active_users(load_table(spark, "events", sf_dir))
+
+
 QUERIES = {
     "events_session_windows": q_events_session_windows,
     "events_dedup_first": q_events_dedup_first,
     "events_enriched_segments": q_events_enriched_segments,
+    "stream_hourly_active_users": q_stream_hourly_active_users,
 }
 
 ORACLES = {
@@ -82,5 +90,11 @@ ORACLES = {
                CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
+    """,
+    "stream_hourly_active_users": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM events GROUP BY 1
     """,
 }
