@@ -183,6 +183,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "graph_transitivity_global",
     "events_dwell_time_by_type",
     "stream_hourly_active_users",
+    # batch 25, same situation
+    "text_textrank_keywords",
+    "graph_katz_centrality",
+    "dq_event_order_inversions",
+    "orders_month_of_year_index",
 })
 
 

@@ -139,6 +139,7 @@ def full_registry() -> tuple[dict, dict]:
         relational22,
         relational23,
         relational24,
+        relational25,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -176,6 +177,7 @@ def full_registry() -> tuple[dict, dict]:
         relational22,
         relational23,
         relational24,
+        relational25,
         recommend,
         dedup_queries,
         sim_queries,
