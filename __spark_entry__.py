@@ -188,6 +188,12 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "graph_katz_centrality",
     "dq_event_order_inversions",
     "orders_month_of_year_index",
+    # batch 26, same situation
+    "graph_wcc_size_histogram",
+    "nation_affinity_lift",
+    "lineitem_winsorized_mean",
+    "embedding_label_centroid_distances",
+    "dedup_savings_tokens",
 })
 
 

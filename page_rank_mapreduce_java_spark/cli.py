@@ -140,6 +140,7 @@ def full_registry() -> tuple[dict, dict]:
         relational23,
         relational24,
         relational25,
+        relational26,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -178,6 +179,7 @@ def full_registry() -> tuple[dict, dict]:
         relational23,
         relational24,
         relational25,
+        relational26,
         recommend,
         dedup_queries,
         sim_queries,
