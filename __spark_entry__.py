@@ -194,6 +194,11 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "lineitem_winsorized_mean",
     "embedding_label_centroid_distances",
     "dedup_savings_tokens",
+    # batch 27, same situation
+    "mm_phash_hamming_histogram",
+    "lineitem_return_rate_by_brand",
+    "customer_value_trend_census",
+    "events_session_length_histogram",
 })
 
 

@@ -141,6 +141,7 @@ def full_registry() -> tuple[dict, dict]:
         relational24,
         relational25,
         relational26,
+        relational27,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -180,6 +181,7 @@ def full_registry() -> tuple[dict, dict]:
         relational24,
         relational25,
         relational26,
+        relational27,
         recommend,
         dedup_queries,
         sim_queries,
