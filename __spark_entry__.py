@@ -199,6 +199,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "lineitem_return_rate_by_brand",
     "customer_value_trend_census",
     "events_session_length_histogram",
+    # batch 28, same situation
+    "text_langid_confusion",
+    "dedup_lsh_pr_vs_prefix_dups",
 })
 
 

@@ -142,6 +142,7 @@ def full_registry() -> tuple[dict, dict]:
         relational25,
         relational26,
         relational27,
+        relational28,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -182,6 +183,7 @@ def full_registry() -> tuple[dict, dict]:
         relational25,
         relational26,
         relational27,
+        relational28,
         recommend,
         dedup_queries,
         sim_queries,
