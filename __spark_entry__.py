@@ -202,6 +202,10 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     # batch 28, same situation
     "text_langid_confusion",
     "dedup_lsh_pr_vs_prefix_dups",
+    # batch 29, same situation
+    "events_session_type_lift",
+    "benford_second_digit",
+    "supplier_mix_entropy_top25",
 })
 
 

@@ -143,6 +143,7 @@ def full_registry() -> tuple[dict, dict]:
         relational26,
         relational27,
         relational28,
+        relational29,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -184,6 +185,7 @@ def full_registry() -> tuple[dict, dict]:
         relational26,
         relational27,
         relational28,
+        relational29,
         recommend,
         dedup_queries,
         sim_queries,
