@@ -206,6 +206,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "events_session_type_lift",
     "benford_second_digit",
     "supplier_mix_entropy_top25",
+    # batch 30, same situation
+    "lineitem_qty_price_heatmap",
+    "part_supplier_redundancy",
 })
 
 

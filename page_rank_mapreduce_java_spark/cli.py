@@ -144,6 +144,7 @@ def full_registry() -> tuple[dict, dict]:
         relational27,
         relational28,
         relational29,
+        relational30,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -186,6 +187,7 @@ def full_registry() -> tuple[dict, dict]:
         relational27,
         relational28,
         relational29,
+        relational30,
         recommend,
         dedup_queries,
         sim_queries,
