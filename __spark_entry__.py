@@ -209,6 +209,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     # batch 30, same situation
     "lineitem_qty_price_heatmap",
     "part_supplier_redundancy",
+    # batch 31, same situation
+    "customer_first_value_ltv_corr",
+    "dq_domain_violations",
 })
 
 

@@ -145,6 +145,7 @@ def full_registry() -> tuple[dict, dict]:
         relational28,
         relational29,
         relational30,
+        relational31,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -188,6 +189,7 @@ def full_registry() -> tuple[dict, dict]:
         relational28,
         relational29,
         relational30,
+        relational31,
         recommend,
         dedup_queries,
         sim_queries,
