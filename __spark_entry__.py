@@ -212,6 +212,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     # batch 31, same situation
     "customer_first_value_ltv_corr",
     "dq_domain_violations",
+    # batch 32, same situation
+    "customer_churn_risk_census",
+    "graph_centrality_rank_agreement",
 })
 
 

@@ -146,6 +146,7 @@ def full_registry() -> tuple[dict, dict]:
         relational29,
         relational30,
         relational31,
+        relational32,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -190,6 +191,7 @@ def full_registry() -> tuple[dict, dict]:
         relational29,
         relational30,
         relational31,
+        relational32,
         recommend,
         dedup_queries,
         sim_queries,
