@@ -215,6 +215,9 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     # batch 32, same situation
     "customer_churn_risk_census",
     "graph_centrality_rank_agreement",
+    # batch 33, same situation
+    "orders_basket_size_histogram",
+    "customer_repeat_rate_by_segment",
 })
 
 

@@ -147,6 +147,7 @@ def full_registry() -> tuple[dict, dict]:
         relational30,
         relational31,
         relational32,
+        relational33,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -192,6 +193,7 @@ def full_registry() -> tuple[dict, dict]:
         relational30,
         relational31,
         relational32,
+        relational33,
         recommend,
         dedup_queries,
         sim_queries,
