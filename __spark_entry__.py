@@ -139,11 +139,11 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # to exactly 50; these five defer to round 9 (they are oracle-checked
 # locally — tools/check_oracle.py sf0.01 — just not driver-slotted).
 #
-# Window math for round 9: this set has grown to 62 deferrals (batches
-# 19-33), all locally certified at sf0.001 + sf0.01 under
-# shuffle.partitions 3/17/32 (see PERF.md §§13-25 and the closing dual
-# full-registry sweep). 62 > 50, so the audit ordering will slot the
-# first 50 (group 0, registration order) and the remaining 12 flow to
+# Window math for round 9: this set has grown to 63 deferrals (batches
+# 19-34), all locally certified at sf0.001 + sf0.01 under
+# shuffle.partitions 3/17/32 (see PERF.md §§13-26 and the closing dual
+# full-registry sweep). 63 > 50, so the audit ordering will slot the
+# first 50 (group 0, registration order) and the remaining 13 flow to
 # round 10 — expected and safe: driver certification is the lagging
 # confirmation of evidence already recorded locally, not the first
 # check these queries ever see.
@@ -227,6 +227,8 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     # batch 33, same situation
     "orders_basket_size_histogram",
     "customer_repeat_rate_by_segment",
+    # batch 34, same situation
+    "graph_kcore_decomposition",
 })
 
 

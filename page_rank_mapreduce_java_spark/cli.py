@@ -148,6 +148,7 @@ def full_registry() -> tuple[dict, dict]:
         relational31,
         relational32,
         relational33,
+        relational34,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -194,6 +195,7 @@ def full_registry() -> tuple[dict, dict]:
         relational31,
         relational32,
         relational33,
+        relational34,
         recommend,
         dedup_queries,
         sim_queries,
