@@ -314,3 +314,106 @@ def kcore_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
         JOIN a{rounds} ON d{rounds}.id = a{rounds}.id
     """
     )
+
+
+def kcore_curve(
+    edges: DataFrame, max_k: int = 6, rounds: int = 8, stop_early: bool = True
+) -> DataFrame:
+    """The full k-core decomposition curve in ONE chained peel.
+
+    Returns DataFrame[k long, core_size long, core_degree_sum long] for
+    k = 1..max_k, where core_degree_sum = 2·|E(k-core)|.
+
+    The k-core is a subgraph of the (k-1)-core and peeling is confluent,
+    so instead of max_k independent fixpoints from the full graph (the
+    round-8 shape: 6 × warm-up + 6 × full-graph first rounds), the peel
+    CONTINUES: k's peel starts from the (k-1)-core's survivor set, the
+    per-k snapshot is read off the fixpoint degree vector, and every
+    round after k=1 runs on a shrinking subgraph. One undirected-edge
+    persist serves the whole curve. Per-k cost past k=1 is a couple of
+    node-sized degree aggregates over the already-small previous core —
+    the plan you'd want at 100×.
+
+    ``stop_early`` (fixpoint probe, one ``first()`` on the materialized
+    degree vector) is oracle-safe by the graph_kcore contract: a stable
+    core is a fixpoint, so the DuckDB oracle (kcore_curve_sql) unrolls
+    the full per-k ``rounds`` budget and lands on identical output —
+    including the not-yet-converged case, where BOTH sides run the same
+    ``rounds`` chain. A node isolated inside the survivor subgraph drops
+    via absence from the degree vector without tripping the probe; its
+    removal changes no other node's degree, so the fixpoint read-off is
+    still exact (same semantics as ``kcore``, r2-certified).
+    """
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    und = _undirect(edges).persist()
+    active = cut_lineage(und.select(F.col("src").alias("id")).distinct())
+    out = None
+    for k in range(1, max_k + 1):
+        degrees = None
+        for _ in range(rounds):
+            alive = und.join(active.select(F.col("id").alias("src")), "src").join(
+                active.select(F.col("id").alias("dst")), "dst"
+            )
+            degrees = cut_lineage(
+                alive.groupBy(F.col("src").alias("id")).agg(
+                    F.count(F.lit(1)).alias("core_degree")
+                )
+            )
+            active = degrees.filter(F.col("core_degree") >= k).select("id")
+            if stop_early and degrees.filter(F.col("core_degree") < k).first() is None:
+                break
+        row = degrees.filter(F.col("core_degree") >= k).agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count(F.lit(1)).cast("long").alias("core_size"),
+            F.coalesce(F.sum("core_degree"), F.lit(0))
+            .cast("long")
+            .alias("core_degree_sum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    # Materialize the 6-row curve before releasing the edge cache it reads.
+    out = cut_lineage(out)
+    und.unpersist()
+    return out
+
+
+def kcore_curve_sql(edges_cte: str, max_k: int = 6, rounds: int = 8) -> str:
+    """Oracle for ``kcore_curve``: the same CHAINED peel unrolled as one
+    CTE chain — k's rounds continue from a{k-1}'s final survivor set,
+    one (edges, und, a0) materialization serves all of k = 1..max_k, and
+    each k's snapshot reads its final degree CTE. Mirrors kcore_sql's
+    round shape; only the starting set differs per k. Every a-CTE is
+    MATERIALIZED: each is referenced twice by the next degree join, and
+    at 48 chained levels letting the optimizer inline doubles the plan
+    per level — materialization keeps planning and execution linear in
+    rounds (each CTE is node-sized)."""
+    parts = [
+        f"""WITH edges AS MATERIALIZED ({edges_cte}),
+        und AS MATERIALIZED (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges
+        ),
+        a0 AS (SELECT DISTINCT src AS id FROM und)"""
+    ]
+    prev = "a0"
+    snaps = []
+    for k in range(1, max_k + 1):
+        for r in range(1, rounds + 1):
+            d, a = f"d{k}_{r}", f"a{k}_{r}"
+            parts.append(
+                f"""{d} AS MATERIALIZED (
+          SELECT u.src AS id, COUNT(*) AS core_degree FROM und u
+          JOIN {prev} x ON u.src = x.id JOIN {prev} y ON u.dst = y.id
+          GROUP BY 1
+        ),
+        {a} AS MATERIALIZED (SELECT id FROM {d} WHERE core_degree >= {k})"""
+            )
+            prev = a
+        snaps.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS core_size,
+       CAST(COALESCE(SUM(core_degree), 0) AS BIGINT) AS core_degree_sum
+FROM d{k}_{rounds} WHERE core_degree >= {k}"""
+        )
+    return ",\n        ".join(parts) + "\n" + "\nUNION ALL\n".join(snaps)

@@ -266,11 +266,13 @@ def q_orders_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(responders * 1000000 div n AS BIGINT)").alias(
                 "response_ppm"
             ),
-            # responders·tn·1e6 can pass int64 at extreme SF — run the
-            # numerator in DECIMAL(38,0) (DuckDB promotes to HUGEINT).
+            # responders·tn·1e6 — and at orders >~1e10 the denominator
+            # n·tr too — can pass int64 at extreme SF: run BOTH sides of
+            # the division in DECIMAL(38,0) (DuckDB promotes to HUGEINT;
+            # ADVICE r8 — the one-sided hardening was asymmetric).
             F.expr(
                 "CAST(CAST(responders AS DECIMAL(38,0)) * tn * 1000000"
-                " div (n * tr) AS BIGINT)"
+                " div (CAST(n AS DECIMAL(38,0)) * tr) AS BIGINT)"
             ).alias("lift_ppm"),
             F.expr("CAST(cum_resp * 1000000 div tr AS BIGINT)").alias(
                 "cum_gain_ppm"
@@ -302,8 +304,8 @@ LIFT_GAINS_SQL = f"""
     SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
            CAST(responders AS BIGINT) AS responders,
            CAST(responders * 1000000 // n AS BIGINT) AS response_ppm,
-           CAST(CAST(responders AS HUGEINT) * tn * 1000000 // (n * tr)
-                AS BIGINT) AS lift_ppm,
+           CAST(CAST(responders AS HUGEINT) * tn * 1000000
+                // (CAST(n AS HUGEINT) * tr) AS BIGINT) AS lift_ppm,
            CAST(SUM(responders) OVER (ORDER BY decile
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 * 1000000 // tr AS BIGINT) AS cum_gain_ppm
@@ -948,7 +950,11 @@ def _bootstrap_sql() -> str:
              AS ci_hi_cents,
            CAST({BOOT_B} AS BIGINT) AS n_resamples
     FROM overall
+    WHERE n_orders > 0
 """
+# WHERE n_orders > 0: on an EMPTY orders table the Spark pipeline emits 0
+# rows (empty broadcast ci_lo/ci_hi cross), while the ungrouped aggregate
+# alone would emit one all-NULL row — degenerate-input parity (ADVICE r8).
 
 
 # --- LSH recall measurement --------------------------------------------------

@@ -405,9 +405,14 @@ def q_dedup_minhash_threshold_curve(
     from page_rank_mapreduce_java_spark.functions.hashes import NUM_MINHASH
 
     est = q_dedup_minhash_jaccard_est(spark, sf_dir).select("k_agree")
+    # Coalesce to 0: on an EMPTY candidate-pair relation SUM is NULL
+    # while the oracle's LEFT JOIN + COUNT(e.k_agree) yields 0 per
+    # threshold (ADVICE r8 degenerate-case parity).
     wide = est.agg(
         *[
-            F.sum((F.col("k_agree") >= t).cast("long")).alias(f"n{t}")
+            F.coalesce(
+                F.sum((F.col("k_agree") >= t).cast("long")), F.lit(0)
+            ).alias(f"n{t}")
             for t in MINHASH_THRESHOLDS
         ]
     )

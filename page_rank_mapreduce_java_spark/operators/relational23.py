@@ -450,7 +450,11 @@ INTERPURCHASE_SQL = """
                           AND cum - cnt < (9 * n_gaps + 9) // 10
                          THEN gap END) AS BIGINT) AS p90_gap_days
     FROM cum
+    HAVING COUNT(*) > 0
 """
+# HAVING COUNT(*) > 0: with NO gaps (empty/one-order-per-customer orders)
+# the Spark pipeline emits 0 rows (empty med crossJoin), while the bare
+# ungrouped aggregate would emit one all-NULL row (ADVICE r8 parity).
 
 
 # --- per-dimension embedding variance ranking -------------------------------------

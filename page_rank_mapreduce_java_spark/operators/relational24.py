@@ -185,9 +185,10 @@ def q_graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wed = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
-        .cast("long")
-        .alias("n_wedges"),
+        # Integer `div`, not float `/`: Σd(d-1) is always even so div is
+        # exact, while float division loses exactness past 2^53 (ADVICE
+        # r8) — the oracle's `// 2` stays integer-exact the whole way.
+        F.expr("CAST(SUM(d * (d - 1)) div 2 AS BIGINT)").alias("n_wedges"),
     )
     closed = tri.agg(F.sum("triangles").alias("closed_wedges"))
     return wed.crossJoin(F.broadcast(closed)).select(
