@@ -473,18 +473,26 @@ def q_basket_itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The pairs CTE is MATERIALIZED and the triple closes with ONE
+# equi-join on l_orderkey: written as a flat 3-way join, DuckDB's
+# optimizer paired b with c on the partkey INEQUALITY alone (a
+# PIECEWISE_MERGE_JOIN over the full items×items range space —
+# >300 s at sf0.01 where this form runs 0.2 s). Spark never had the
+# hazard: its join conditions pin each step to the orderkey equi-key.
 ITEMSET3_SQL = f"""
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     keep AS (SELECT l_orderkey FROM items GROUP BY 1
              HAVING COUNT(*) <= {TRIPLE_CAP}),
-    i AS (SELECT items.* FROM items JOIN keep USING (l_orderkey))
-    SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+    i AS MATERIALIZED (SELECT items.* FROM items JOIN keep USING (l_orderkey)),
+    pairs AS MATERIALIZED (
+      SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+      FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    )
+    SELECT p.p1 AS p1, p.p2 AS p2, c.l_partkey AS p3,
            CAST(COUNT(*) AS BIGINT) AS support
-    FROM i a
-    JOIN i b ON a.l_orderkey = b.l_orderkey
-            AND a.l_partkey < b.l_partkey
-    JOIN i c ON a.l_orderkey = c.l_orderkey
-            AND b.l_partkey < c.l_partkey
+    FROM pairs p JOIN i c ON p.l_orderkey = c.l_orderkey
+                         AND p.p2 < c.l_partkey
     GROUP BY 1, 2, 3 HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
 """
 

@@ -41,3 +41,41 @@ def test_kcore_curve_is_monotone_and_consistent(spark, sf_dir):
         .count()
     )
     assert rows[0].core_size == n_nodes
+
+
+# Known graph for the fused single-peel curve (round-9 rewrite): a
+# 5-clique with a 3-node tail hanging off node 5. Exact curve:
+#   k=1: all 8 nodes, degsum 2*13; the tail peels at k=2 (a 3-round
+#   synchronous cascade 8 -> 7 -> 6, exercising multi-round peeling
+#   AND the chained continuation from the k=1 fixpoint);
+#   k=2..4: the clique (size 5, degsum 20); k>=5: empty.
+_KNOWN_EDGES = [
+    (a, b) for a in range(1, 6) for b in range(a + 1, 6)
+] + [(5, 6), (6, 7), (7, 8)]
+_KNOWN_CURVE = [
+    (1, 8, 26),
+    (2, 5, 20),
+    (3, 5, 20),
+    (4, 5, 20),
+    (5, 0, 0),
+    (6, 0, 0),
+]
+
+
+def test_kcore_curve_known_graph_spark(spark):
+    from page_rank_mapreduce_java_spark.graph.motifs import kcore_curve
+
+    edges = spark.createDataFrame(_KNOWN_EDGES, "src long, dst long")
+    rows = sorted(kcore_curve(edges, max_k=6, rounds=8).collect())
+    assert [tuple(r) for r in rows] == _KNOWN_CURVE
+
+
+def test_kcore_curve_known_graph_oracle():
+    import duckdb
+
+    from page_rank_mapreduce_java_spark.graph.motifs import kcore_curve_sql
+
+    vals = ", ".join(f"({a}, {b})" for a, b in _KNOWN_EDGES)
+    cte = f"SELECT * FROM (VALUES {vals}) AS t(src, dst)"
+    rows = sorted(duckdb.sql(kcore_curve_sql(cte, max_k=6, rounds=8)).fetchall())
+    assert rows == _KNOWN_CURVE
