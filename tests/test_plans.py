@@ -221,3 +221,19 @@ def test_null_safe_join_stays_equi_join(spark, sf_dir):
     plan = formatted_plan(r16.q_join_null_safe_nations(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kcore_curve_final_plan_is_checkpoint_scan(spark):
+    """The fused decomposition curve (round-9 rewrite) executes its
+    chained peel at construction; the RESULT plan must be a constant
+    6-row checkpoint scan with zero exchanges — no lineage back through
+    48 potential peel rounds (the §4.3 plan-explosion guard, same
+    contract as the pagerank superstep chassis)."""
+    from page_rank_mapreduce_java_spark.graph.motifs import kcore_curve
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    plan = formatted_plan(kcore_curve(edges, max_k=3, rounds=4))
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "Exchange" not in plan
