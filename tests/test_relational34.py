@@ -79,3 +79,34 @@ def test_kcore_curve_known_graph_oracle():
     cte = f"SELECT * FROM (VALUES {vals}) AS t(src, dst)"
     rows = sorted(duckdb.sql(kcore_curve_sql(cte, max_k=6, rounds=8)).fetchall())
     assert rows == _KNOWN_CURVE
+
+
+def test_kcore_curve_equals_per_k_peels_on_random_graphs(spark):
+    """Chassis equivalence: the fused chained peel must produce, at
+    every k, exactly the (core_size, core_degree_sum) that the
+    r2-certified per-k `kcore` fixpoint computes from the full graph —
+    the confluence property the round-9 rewrite rests on. Seeded random
+    graphs so the check covers shapes the corpus graph doesn't
+    (multi-component, self-contained tails, dense pockets)."""
+    import random
+
+    from page_rank_mapreduce_java_spark.graph.motifs import kcore, kcore_curve
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = 14
+        edges = [
+            (a, b)
+            for a in range(1, n)
+            for b in range(a + 1, n + 1)
+            if rng.random() < 0.28
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.k: (r.core_size, r.core_degree_sum)
+            for r in kcore_curve(df, max_k=4, rounds=8).collect()
+        }
+        for k in range(1, 5):
+            core = kcore(df, k=k, rounds=8).collect()
+            want = (len(core), sum(r.core_degree for r in core))
+            assert got[k] == want, (seed, k, got[k], want)
