@@ -144,6 +144,14 @@ HEADLINE = [
     "dedup_minhash_threshold_curve",
     "embedding_knn_label_accuracy",
     "join_asof_forward",
+    # round 10 additions — the heavy members of the round-10 audit
+    # window that had no standing bench row (the fused k-core curve's
+    # chained peel, the PageRank+Katz+Spearman composition capstone,
+    # and the exposure Gini's volume-sized pair exchange), so the
+    # per-round gate covers them from their first driver green on
+    "graph_kcore_decomposition",
+    "graph_centrality_rank_agreement",
+    "rec_exposure_gini",
 ]
 
 # Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows
