@@ -237,3 +237,21 @@ def test_kcore_curve_final_plan_is_checkpoint_scan(spark):
     plan = formatted_plan(kcore_curve(edges, max_k=3, rounds=4))
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "Exchange" not in plan
+
+
+def test_round10_headline_capstones_stay_jvm_side(spark, sf_dir):
+    """The three round-10 bench-headline additions are multi-chassis
+    compositions; pin the two properties that must survive any chassis
+    refactor: no cartesian product anywhere in the composed plan (the
+    only cross joins are broadcast 1-row scalars) and zero Python in
+    the path — every stage stays JVM-side for whole-stage codegen."""
+    from page_rank_mapreduce_java_spark.operators import relational23, relational32
+
+    for fn in (
+        relational32.q_graph_centrality_rank_agreement,
+        relational23.q_rec_exposure_gini,
+    ):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        df = fn(spark, sf_dir)
+        assert not uses_python_udf(df), fn.__name__
