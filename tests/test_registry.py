@@ -150,3 +150,22 @@ def test_query_hash_captures_transitive_helpers():
         assert entrymod.query_hash(fn, "SELECT 1") != base
     finally:
         entrymod._dependency_sources = real
+
+
+def test_round_pins_are_consistent():
+    """The round's pinned-slot list and next-round deferral set must
+    stay mutually exclusive, name real registry entries, and actually
+    occupy the front of the audit order — a typo in either constant
+    would silently burn window slots or strand a pinned recert."""
+    order = list(entrymod.queries())
+    priority = getattr(entrymod, "_PRIORITY_THIS_ROUND", ())
+    deferred = getattr(entrymod, "_DEFER_TO_NEXT_ROUND", frozenset())
+    assert not set(priority) & deferred
+    missing = (set(priority) | deferred) - set(order)
+    assert not missing, f"pinned/deferred names not in registry: {missing}"
+    assert list(order[: len(priority)]) == list(priority), (
+        "pinned names do not occupy the leading audit slots in order"
+    )
+    assert all(order.index(n) >= 50 for n in deferred), (
+        "a deferred name sits inside the 50-slot window"
+    )
