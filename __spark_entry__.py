@@ -130,6 +130,15 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+# NOTE on round numbering: the repo's internal round log (PERF.md)
+# counts two working rounds here — "round 9" (the original
+# certification round, whose driver artifact never landed) and
+# "round 10" (this re-run of the same drain). The DRIVER's artifact
+# numbering continues from CORRECTNESS_r08.json, so the window below
+# is graded as the driver's ROUND 9 (CORRECTNESS_r09.json /
+# BENCH_r09.json). Same window either way; "round 11" in these
+# comments = the driver's round 10.
+#
 # Window math for round 10: the round-9 driver correctness artifact
 # (CORRECTNESS_r09.json) was never delivered into the repo, so the
 # ledger HONESTLY still records the full 63-query never-checked backlog
