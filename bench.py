@@ -21,6 +21,18 @@ vs_prev divides current timings by max(1, calib_now/calib_prev) before
 applying the 25% threshold — so "host was busy" and "code regressed" are
 distinguishable. A faster host never masks a regression (ratio clamped
 at 1).
+
+Host-noise triangulation (round 9): "host_steal_pct" /
+"group_steal_max_pct" / per-rep "emr_k1000_x10_steal_pct" come from
+/proc/stat deltas, and "bw_probe_sec" / "bw_probe_max_sec" /
+"emr_k1000_x10_bw_probe" from a driver-side 200 MB sequential-sum
+probe. The ALU-bound calibration probe measures host throughput but is
+blind to (a) straggler amplification — a few % of hypervisor steal
+randomly delaying one task per stage inflates a many-barrier iterative
+workload ~3x while the probe stays fast — and (b) co-tenant memory-
+bandwidth/LLC contention, which slows shuffle-heavy barriers with ZERO
+steal. calib + steal% + bandwidth together make both classes
+adjudicable from the JSON alone (PERF.md, driver round 9 §3).
 """
 
 from __future__ import annotations
@@ -182,6 +194,64 @@ INDEX_BUILD_WARMUP = ["ann_pq_serve_topk", "ann_ivfpq_serve_topk"]
 GROUP_SIZE = 8
 
 
+def _cpu_counters() -> list[int] | None:
+    """Cumulative jiffies from /proc/stat line 1 (user nice system idle
+    iowait irq softirq steal ...). Deltas between two snapshots give the
+    host's CPU mix over the interval. None if unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Hypervisor steal% between two _cpu_counters snapshots.
+
+    Why this exists (round-9 adjudication): the calibration probe is one
+    32-task embarrassingly-parallel barrier — it measures effective
+    throughput but is blind to STRAGGLER amplification, where a few
+    percent of steal randomly delays one task per stage and a ~50-barrier
+    iterative workload (emr_k1000_x10) inflates 3x while the probe stays
+    fast. Dedicated interleaved runs measured walls of [10.9, 36.0] s on
+    identical code with probe medians FASTER than the settled baseline;
+    /proc/stat showed up to 8.3% steal during the slow reps and <1%
+    during the in-band ones. steal% in the bench JSON makes that class
+    directly adjudicable instead of inferred."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d)
+    if tot <= 0 or len(d) < 8:
+        return None
+    return round(100.0 * d[7] / tot, 2)
+
+
+_BW_BUF = None
+
+
+def _bandwidth_probe() -> float:
+    """Driver-side memory-bandwidth probe: three sequential sums over a
+    fixed 200 MB float64 buffer (~600 MB traversed, allocation excluded
+    and reused across calls). Completes the noise-triangulation triple:
+    the calibration probe is ALU-bound (host throughput), steal% is
+    hypervisor theft, and THIS is the memory bus — co-tenant bandwidth /
+    LLC contention slows shuffle-heavy barriers 2-3x while leaving both
+    of the others flat (the round-9 emr adjudication: walls 13-17 s vs
+    the 9.7-11 s band at 0.05% steal and a probe only 1.14x slower)."""
+    import numpy as np
+
+    global _BW_BUF
+    if _BW_BUF is None:
+        _BW_BUF = np.ones(25_000_000)
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(3):
+        acc += float(_BW_BUF.sum())
+    assert acc > 0
+    return round(time.time() - t0, 3)
+
+
 def _calibration_probe(spark) -> float:
     """Constant-work JVM probe: hash-sum over a fixed range across 32
     tasks — no I/O, no shuffle, no Python. Its runtime tracks the host's
@@ -249,6 +319,9 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     groups = _groups()
     group_samples: list[list[float]] = [[] for _ in groups]
+    group_steal_samples: list[list[float]] = [[] for _ in groups]
+    group_bw_samples: list[list[float]] = [[] for _ in groups]
+    bench_cpu0 = _cpu_counters()
     for _ in range(runs):
         # Drop the memoized PageRank rank vector: a repeat run must
         # re-execute the superstep loop, not time a dict lookup.
@@ -256,12 +329,17 @@ def main() -> None:
 
         _RANKS_CACHE.clear()
         for gi, group in enumerate(groups):
+            cpu0 = _cpu_counters()
+            group_bw_samples[gi].append(_bandwidth_probe())
             group_samples[gi].append(_calibration_probe(spark))
             for name in group:
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples[name].append(round(time.time() - t0, 3))
                 spark.catalog.clearCache()
+            st = _steal_pct(cpu0, _cpu_counters())
+            if st is not None:
+                group_steal_samples[gi].append(st)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -290,13 +368,28 @@ def main() -> None:
         from page_rank_mapreduce_java_spark.graph.pagerank import pagerank
 
         emr_samples = []
+        emr_steals: list[float] = []
+        emr_bw: list[float] = []
         for _ in range(runs):
+            ecpu0 = _cpu_counters()
+            emr_bw.append(_bandwidth_probe())
             t0 = time.time()
             pagerank(chain_edges(spark, 1000), num_iterations=10).ranks.write.format(
                 "noop"
             ).mode("overwrite").save()
             emr_samples.append(round(time.time() - t0, 3))
+            est = _steal_pct(ecpu0, _cpu_counters())
+            if est is not None:
+                emr_steals.append(est)
         emr_sec = median(emr_samples)
+        # The ~50-barrier superstep loop is the workload most exposed to
+        # straggler amplification; MIN and per-rep steal make a slow
+        # median adjudicable (see _steal_pct docstring).
+        emr_extra = {
+            "emr_k1000_x10_runs": emr_samples,
+            **({"emr_k1000_x10_steal_pct": emr_steals} if emr_steals else {}),
+            **({"emr_k1000_x10_bw_probe": emr_bw} if emr_bw else {}),
+        }
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -310,8 +403,19 @@ def main() -> None:
         "calib_runs": all_probes,
         "group_calib": group_calib,
     }
+    host_steal = _steal_pct(bench_cpu0, _cpu_counters())
+    if host_steal is not None:
+        out["host_steal_pct"] = host_steal
+    flat_steal = [s for g in group_steal_samples for s in g]
+    if flat_steal:
+        out["group_steal_max_pct"] = max(flat_steal)
+    flat_bw = [s for g in group_bw_samples for s in g]
+    if flat_bw:
+        out["bw_probe_sec"] = median(flat_bw)
+        out["bw_probe_max_sec"] = max(flat_bw)
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec
+        out.update(emr_extra)
 
     # Rotating non-headline slice (see SLICE_SIZE above). Single timed
     # pass each; failures are recorded (a slice query that ERRORS is
