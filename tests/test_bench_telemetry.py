@@ -1,0 +1,62 @@
+"""Unit tests for bench.py's host-noise triangulation helpers (round 9).
+
+These helpers adjudicate ambient-vs-real bench regressions; wrong math
+here would mislabel a genuine plan regression as hypervisor noise, so
+the arithmetic is pinned on synthetic /proc/stat deltas.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def test_steal_pct_synthetic_delta():
+    # 8-field jiffies: user nice system idle iowait irq softirq steal
+    a = [100, 0, 50, 800, 10, 0, 0, 40]
+    b = [200, 0, 100, 1500, 20, 0, 0, 180]
+    # deltas: user 100, system 50, idle 700, iowait 10, steal 140 -> total 1000
+    assert bench._steal_pct(a, b) == 14.0
+
+
+def test_steal_pct_zero_steal():
+    a = [0] * 10
+    b = [100, 0, 100, 800, 0, 0, 0, 0, 0, 0]
+    assert bench._steal_pct(a, b) == 0.0
+
+
+def test_steal_pct_none_inputs():
+    a = [100, 0, 50, 800, 10, 0, 0, 40]
+    assert bench._steal_pct(None, a) is None
+    assert bench._steal_pct(a, None) is None
+    assert bench._steal_pct(None, None) is None
+
+
+def test_steal_pct_degenerate_deltas():
+    # identical snapshots (total delta 0) must not divide by zero
+    a = [100, 0, 50, 800, 10, 0, 0, 40]
+    assert bench._steal_pct(a, a) is None
+    # truncated /proc/stat lines (no steal field) return None, not IndexError
+    short = [100, 0, 50, 800]
+    assert bench._steal_pct(short, [x + 10 for x in short]) is None
+
+
+def test_cpu_counters_shape_on_linux():
+    c = bench._cpu_counters()
+    # This repo only runs on Linux hosts; the helper must parse the real
+    # /proc/stat into >=8 non-negative ints (steal is field index 7).
+    assert c is not None and len(c) >= 8
+    assert all(isinstance(x, int) and x >= 0 for x in c)
+
+
+def test_bandwidth_probe_positive_and_buffer_reused():
+    t1 = bench._bandwidth_probe()
+    buf_id = id(bench._BW_BUF)
+    t2 = bench._bandwidth_probe()
+    assert t1 > 0 and t2 > 0
+    # the 200 MB buffer is allocated once and reused (allocation cost
+    # must never leak into the probe reading)
+    assert id(bench._BW_BUF) == buf_id
