@@ -358,6 +358,12 @@ def main() -> None:
         for gi, group in enumerate(groups)
         for name in group
     }
+    group_bw = {
+        name: median(group_bw_samples[gi])
+        for gi, group in enumerate(groups)
+        for name in group
+        if group_bw_samples[gi]
+    }
 
     # The reference's own production workload (Makefile aws.k=1000,
     # aws.iterations=10 — provisioned as 1 master + 5 core m6a.xlarge on
@@ -413,6 +419,7 @@ def main() -> None:
     if flat_bw:
         out["bw_probe_sec"] = median(flat_bw)
         out["bw_probe_max_sec"] = max(flat_bw)
+        out["group_bw"] = group_bw
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec
         out.update(emr_extra)
@@ -464,6 +471,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     hist_path = os.path.join(here, "bench_history.jsonl")
     prev_q, prev_label, prev_calib, prev_gc = {}, None, None, {}
+    prev_bw: dict = {}
     try:
         with open(hist_path) as f:
             for line in f:
@@ -472,6 +480,7 @@ def main() -> None:
                     prev_q, prev_label = rec["queries"], "bench_history.jsonl"
                     prev_calib = rec.get("calib_sec")
                     prev_gc = rec.get("group_calib") or {}
+                    prev_bw = rec.get("group_bw") or {}
     except (OSError, json.JSONDecodeError):
         pass
     if not prev_q:
@@ -487,6 +496,7 @@ def main() -> None:
                 prev_q, prev_label = parsed["queries"], os.path.basename(p)
                 prev_calib = parsed.get("calib_sec")
                 prev_gc = parsed.get("group_calib") or {}
+                prev_bw = parsed.get("group_bw") or {}
     if prev_q:
         prev_path = prev_label
         shared = [n for n in timings if n in prev_q and prev_q[n] > 0]
@@ -512,13 +522,26 @@ def main() -> None:
                     return max(1.0, group_calib[n] / prev_gc[n])
                 return load
 
+            def bw_ratio_for(n: str) -> float | None:
+                # Memory-bus contention local to this query's group,
+                # relative to the baseline run (>1 = bus was slower
+                # now). Advisory only — it annotates flags for the
+                # adjudicator rather than excusing them, because bus
+                # contention during the PROBE instant and during the
+                # query are correlated but not equal.
+                if prev_bw.get(n) and group_bw.get(n):
+                    return round(group_bw[n] / prev_bw[n], 2)
+                return None
+
             regressions = {
                 n: {"prev": prev_q[n], "now": timings[n],
                     "ratio": round(timings[n] / prev_q[n], 2),
                     "ratio_calib_adj": round(
                         timings[n] / (prev_q[n] * load_for(n)), 2
                     ),
-                    "group_load": round(load_for(n), 3)}
+                    "group_load": round(load_for(n), 3),
+                    **({"group_bw_ratio": bw_ratio_for(n)}
+                       if bw_ratio_for(n) is not None else {})}
                 for n in shared
                 if timings[n] > prev_q[n] * 1.25 * load_for(n)
             }
