@@ -46,16 +46,24 @@ def main() -> None:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     bench._calibration_probe(spark)
 
-    q_times, probe_times = [], []
+    q_times, probe_times, bw_times, steals = [], [], [], []
     for _ in range(reps):
+        cpu0 = bench._cpu_counters()
+        bw_times.append(bench._bandwidth_probe())
         probe_times.append(bench._calibration_probe(spark))
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         q_times.append(time.monotonic() - t0)
+        st = bench._steal_pct(cpu0, bench._cpu_counters())
+        if st is not None:
+            steals.append(st)
     q_med = statistics.median(q_times)
     p_med = statistics.median(probe_times)
     print(f"query   {qname}: reps={q_times}")
     print(f"probe   : reps={probe_times}")
+    print(f"bw      : reps={bw_times}  (quiet baseline ~0.06s; >2x = bus contention)")
+    if steals:
+        print(f"steal%  : reps={steals}")
     print(f"median  query={q_med:.3f}s probe={p_med:.3f}s ratio={q_med/p_med:.2f}")
     spark.stop()
 
