@@ -139,74 +139,36 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # BENCH_r09.json). Same window either way; "round 11" in these
 # comments = the driver's round 10.
 #
-# Window math for round 10: the round-9 driver correctness artifact
-# (CORRECTNESS_r09.json) was never delivered into the repo, so the
-# ledger HONESTLY still records the full 63-query never-checked backlog
-# — the 49 queries the round-9 window was composed for (locally
-# pre-certified, PERF.md §§13-27) plus the 14 names below that round 9
-# deliberately deferred. The ledger only folds real driver artifacts;
-# no green is fabricated. Round-10 ordering: the 14 former deferrals
-# are PULLED TO THE FRONT of audit group 0 (they have now been skipped
-# one full round and must not miss a second window), plus the pulled-
-# forward kcore rewrite and the one hash-stale green (lift-gains),
-# followed by the other never-checked names in registration order.
-# Demand is 63 never + 1 stale = 64 against 50 slots: the window
-# takes the 16 pinned + 34 by registration order; the tail (14
-# queries) defers to round 11 — all 14 sat inside the round-9 window
-# composition, so if the missing r9 artifact ever lands,
-# tools/update_query_evidence.py folds their greens and round 11's
-# demand collapses to whatever registered or staled after.
+# Window math for the driver's round 10 (the repo's internal round 11):
+# CORRECTNESS_r09 landed 50/50 green and the ledger folded it — the
+# only remaining never-driver-checked queries are the 14 names below,
+# deferred by BOTH prior windows (they sat in the registration-order
+# tail twice). They are pinned to the front so they cannot miss a
+# third window. Each is locally certified at four scale points
+# (sf0.001/sf0.01 oracle gate, dual partition-invariance sweep,
+# sf0.1 window certification, 100× pinned sweep — PERF.md r9 §§8-11).
+# Demand after the fold: 14 never + 0 stale against 50 slots; the
+# remaining ~36 slots absorb anything round 10 registers or stales.
 _PRIORITY_THIS_ROUND: tuple[str, ...] = (
-    "text_langid_confusion",
-    "dedup_lsh_pr_vs_prefix_dups",
-    "events_session_type_lift",
-    "benford_second_digit",
-    "supplier_mix_entropy_top25",
-    "lineitem_qty_price_heatmap",
-    "part_supplier_redundancy",
-    "customer_first_value_ltv_corr",
-    "dq_domain_violations",
-    "customer_churn_risk_census",
-    "graph_centrality_rank_agreement",
-    "orders_basket_size_histogram",
-    "customer_repeat_rate_by_segment",
-    "stream_hourly_active_users",
-    # Not an r9 deferral, but the VERDICT-r8-mandated single-peel
-    # rewrite: its driver green must certify the fused plan, so it
-    # keeps a guaranteed slot rather than riding registration order.
-    "graph_kcore_decomposition",
-    # Hash-stale, not never: the round-9 ADVICE hardening (DECIMAL/
-    # HUGEINT denominator) edited it after its r8 green, and the r9
-    # driver round that would have recertified it never landed. As
-    # plain group 1 it would sort behind all 63 never-checked (slot
-    # 64 — stranded); the priority override pins its recert slot.
-    "orders_lift_gains_deciles",
+    "events_dwell_time_by_type",
+    "text_textrank_keywords",
+    "graph_katz_centrality",
+    "dq_event_order_inversions",
+    "orders_month_of_year_index",
+    "graph_wcc_size_histogram",
+    "nation_affinity_lift",
+    "lineitem_winsorized_mean",
+    "embedding_label_centroid_distances",
+    "dedup_savings_tokens",
+    "mm_phash_hamming_histogram",
+    "lineitem_return_rate_by_brand",
+    "customer_value_trend_census",
+    "events_session_length_histogram",
 )
 
-# The registration-order tail of the never-checked backlog that the
-# 50-slot round-10 window cannot take (demand 64 = 63 never + 1
-# stale; 16 slots are pinned above, 34 go by registration order,
-# these 14 drain in round 11). Every name below sat inside the
-# ROUND-9 window composition and was locally certified there
-# (PERF.md §§r9 8-10: sf0.001/sf0.01 oracle gate, partition-
-# invariance sweep, sf0.1 and 100× window certification) — they are
-# deferred driver-EVIDENCE, not unverified code.
-_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset({
-    "customer_value_trend_census",
-    "dedup_savings_tokens",
-    "dq_event_order_inversions",
-    "embedding_label_centroid_distances",
-    "events_dwell_time_by_type",
-    "events_session_length_histogram",
-    "graph_katz_centrality",
-    "graph_wcc_size_histogram",
-    "lineitem_return_rate_by_brand",
-    "lineitem_winsorized_mean",
-    "mm_phash_hamming_histogram",
-    "nation_affinity_lift",
-    "orders_month_of_year_index",
-    "text_textrank_keywords",
-})
+# Empty this round: the driver's 50-slot window has ~36 slots of
+# headroom beyond the 14 pinned names, so nothing needs deferring.
+_DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 
 def _audit_order(q: dict, o: dict) -> list[str]:
