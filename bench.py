@@ -6,7 +6,12 @@ unless SPARK_GRAFT_BENCH_EMR=0.
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect). Code paths are warmed at the smallest scale factor
-first so timings measure steady-state execution, not JVM startup.
+first so timings measure steady-state execution, not JVM startup; a
+second untimed pass at the TARGET sf_dir then pays every per-(app,
+sf_dir) one-time build (memoized BFS levels, pair-exchange volume
+bounds, OS page cache) so headline walls are steady-state and
+suite-composition independent (VERDICT r9 next #3 — the r9 false-flag
+class). Disable with SPARK_GRAFT_BENCH_TARGET_WARM=0.
 
 Noise control (VERDICT r2 next #6: ±20% host-load swings on identical
 code swamped the round-over-round signal): the suite runs
@@ -221,8 +226,13 @@ def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
     if a is None or b is None:
         return None
     d = [y - x for x, y in zip(a, b)]
-    tot = sum(d)
-    if tot <= 0 or len(d) < 8:
+    if len(d) < 8:
+        return None
+    # Only the first 8 fields (user..steal): Linux already folds guest/
+    # guest_nice into user/nice, so including them double-counts guest
+    # time and understates steal% on hosts running guests (ADVICE r9).
+    tot = sum(d[:8])
+    if tot <= 0:
         return None
     return round(100.0 * d[7] / tot, 2)
 
@@ -309,6 +319,35 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - warmup must not kill the bench
             print(f"bench: index warmup failed for {name}: {e}", file=sys.stderr)
 
+    # Warm-state convention (VERDICT r9 next #3): headline walls are
+    # STEADY-STATE measurements. Several queries consume per-(app,
+    # sf_dir) one-time builds — the memoized BFS levels relation
+    # (graph/queries._LEVELS_CACHE feeds the distance-centrality
+    # family), the memoized pair-exchange volume bounds
+    # (plans/pairsize._BOUND_CACHE), OS page-cache warmth of the target
+    # parquet — so whichever rep ran first used to pay the build and the
+    # wall became suite-composition dependent (the r9 0.18↔13.2 s
+    # closeness and 0.8↔3.4 s basket_lift bimodality, the dominant
+    # false-flag source). One untimed full pass at the TARGET sf_dir
+    # pays every such build before the timed rounds. _RANKS_CACHE is the
+    # deliberate exception: it is cleared before each timed round
+    # because graph_pagerank (the first headline member) IS the build —
+    # its wall must include the superstep loop; later consumers in the
+    # same round read the warm vector, which is deterministic because
+    # suite order is fixed.
+    if os.environ.get("SPARK_GRAFT_BENCH_TARGET_WARM", "1") != "0":
+        for name in HEADLINE:
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"bench: target warmup failed for {name}: {e}",
+                    file=sys.stderr,
+                )
+            spark.catalog.clearCache()
+
     # Query functions persist() intra-query intermediates (LSH signatures,
     # self-join inputs); those caches are only useful within one
     # materialization, so release them between queries — otherwise the
@@ -329,9 +368,11 @@ def main() -> None:
 
         _RANKS_CACHE.clear()
         for gi, group in enumerate(groups):
-            cpu0 = _cpu_counters()
             group_bw_samples[gi].append(_bandwidth_probe())
             group_samples[gi].append(_calibration_probe(spark))
+            # Snapshot AFTER the probes so the steal interval covers only
+            # the timed queries, not probe time (ADVICE r9).
+            cpu0 = _cpu_counters()
             for name in group:
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -377,8 +418,8 @@ def main() -> None:
         emr_steals: list[float] = []
         emr_bw: list[float] = []
         for _ in range(runs):
-            ecpu0 = _cpu_counters()
             emr_bw.append(_bandwidth_probe())
+            ecpu0 = _cpu_counters()
             t0 = time.time()
             pagerank(chain_edges(spark, 1000), num_iterations=10).ranks.write.format(
                 "noop"

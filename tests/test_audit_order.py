@@ -16,7 +16,9 @@ import os
 import sys
 import tempfile
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import __spark_entry__ as entrymod
 
@@ -40,6 +42,7 @@ def _q_d(spark, sf):  # pragma: no cover - never executed
 def _order_with_ledger(q, o, ledger) -> list[str]:
     """Run _audit_order against a temp ledger file (or a missing one)."""
     real_path = entrymod._EVIDENCE_PATH
+    path = None
     try:
         if ledger is None:
             entrymod._EVIDENCE_PATH = os.path.join(
@@ -53,6 +56,8 @@ def _order_with_ledger(q, o, ledger) -> list[str]:
         return entrymod._audit_order(q, o)
     finally:
         entrymod._EVIDENCE_PATH = real_path
+        if path is not None:
+            os.unlink(path)
 
 
 def test_backlog_classes_sort_before_green():

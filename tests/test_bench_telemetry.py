@@ -7,9 +7,12 @@ the arithmetic is pinned on synthetic /proc/stat deltas.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import bench
 
@@ -26,6 +29,17 @@ def test_steal_pct_zero_steal():
     a = [0] * 10
     b = [100, 0, 100, 800, 0, 0, 0, 0, 0, 0]
     assert bench._steal_pct(a, b) == 0.0
+
+
+def test_steal_pct_excludes_guest_fields_from_denominator():
+    # 10-field jiffies with nonzero guest/guest_nice deltas: Linux folds
+    # guest time into user/nice already, so fields 8-9 must NOT join the
+    # denominator (ADVICE r9 — double-counting understates steal%).
+    a = [0] * 10
+    # deltas: user 400 (includes 300 guest), idle 400, steal 200,
+    # guest 300, guest_nice 100 -> denominator must be 1000, not 1400
+    b = [400, 0, 0, 400, 0, 0, 0, 200, 300, 100]
+    assert bench._steal_pct(a, b) == 20.0
 
 
 def test_steal_pct_none_inputs():

@@ -15,11 +15,14 @@ Usage: python tools/remeasure.py <query> [reps=5] [sf_dir]
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main() -> None:
@@ -48,9 +51,11 @@ def main() -> None:
 
     q_times, probe_times, bw_times, steals = [], [], [], []
     for _ in range(reps):
-        cpu0 = bench._cpu_counters()
         bw_times.append(bench._bandwidth_probe())
         probe_times.append(bench._calibration_probe(spark))
+        # Snapshot after the probes so steal% covers only the timed
+        # query (ADVICE r9, same fix as bench.py).
+        cpu0 = bench._cpu_counters()
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         q_times.append(time.monotonic() - t0)
