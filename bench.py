@@ -169,6 +169,11 @@ HEADLINE = [
     "graph_kcore_decomposition",
     "graph_centrality_rank_agreement",
     "rec_exposure_gini",
+    # round 10 batch-35 registrations (the heavy members: both ride the
+    # m^(3/2) degree-oriented wedge chassis over the co-occurrence
+    # graph — the support pass and the per-node triangle pass)
+    "graph_local_bridges",
+    "graph_clustering_by_degree",
 ]
 
 # Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows

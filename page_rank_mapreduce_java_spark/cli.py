@@ -149,6 +149,7 @@ def full_registry() -> tuple[dict, dict]:
         relational32,
         relational33,
         relational34,
+        relational35,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -196,6 +197,7 @@ def full_registry() -> tuple[dict, dict]:
         relational32,
         relational33,
         relational34,
+        relational35,
         recommend,
         dedup_queries,
         sim_queries,

@@ -929,14 +929,14 @@ def _phash_bit_balance_sql() -> str:
 
     return f"""
     WITH {_phash_cte()},
-    bits AS (
+    bit_ext AS (
       SELECT t.bit_pos, (phash >> t.bit_pos) & 1 AS b
       FROM ph CROSS JOIN range({PHASH_BITS}) t(bit_pos))
     SELECT CAST(bit_pos AS BIGINT) AS bit_pos,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(b) AS BIGINT) AS n_ones,
            CAST(1000000 * SUM(b) // COUNT(*) AS BIGINT) AS ones_ppm
-    FROM bits GROUP BY 1
+    FROM bit_ext GROUP BY 1
 """
 
 

@@ -255,3 +255,45 @@ def test_round10_headline_capstones_stay_jvm_side(spark, sf_dir):
         assert "CartesianProduct" not in plan, fn.__name__
         df = fn(spark, sf_dir)
         assert not uses_python_udf(df), fn.__name__
+
+
+def test_batch35_relational_paths_stay_jvm_side(spark, sf_dir):
+    """Batch 35 (round-10 growth): every non-multimodal member must
+    compose without a cartesian product and without Python in the path
+    (mm_phash_bit_balance is the one sanctioned Arrow-batched
+    exception — its hash leg is the multimodal UDF by design). The two
+    bench-headline members (local bridges, clustering-by-degree) ride
+    the m^(3/2) wedge chassis; a refactor that degrades the orientation
+    join into a cartesian fails here before it fails at scale."""
+    from page_rank_mapreduce_java_spark.operators import relational35
+
+    for fn in (
+        relational35.q_graph_local_bridges,
+        relational35.q_graph_clustering_by_degree,
+        relational35.q_lineitem_price_elasticity_by_brand,
+        relational35.q_levene_brown_forsythe_price,
+        relational35.q_rec_ndcg_popularity,
+        relational35.q_rec_mrr_popularity,
+        relational35.q_calibration_return_by_quantity,
+        relational35.q_embedding_mahalanobis_outliers,
+        relational35.q_customer_spend_gamma_moments,
+    ):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        df = fn(spark, sf_dir)
+        assert not uses_python_udf(df), fn.__name__
+
+
+def test_batch35_single_pass_aggregates_broadcast_dims(spark, sf_dir):
+    """The grouped-regression and moments queries are one-fact-pass
+    shapes: the dimension side (part / customer) must enter as a
+    broadcast join, never a shuffled sort-merge join on the fact
+    table's join key."""
+    from page_rank_mapreduce_java_spark.operators import relational35
+
+    for fn in (
+        relational35.q_lineitem_price_elasticity_by_brand,
+        relational35.q_customer_spend_gamma_moments,
+    ):
+        assert uses_broadcast_join(fn(spark, sf_dir)), fn.__name__
+        assert "SortMergeJoin" not in formatted_plan(fn(spark, sf_dir)), fn.__name__
