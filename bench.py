@@ -174,6 +174,9 @@ HEADLINE = [
     # graph — the support pass and the per-node triangle pass)
     "graph_local_bridges",
     "graph_clustering_by_degree",
+    # round 10 batch-36 registration (the heavy member: re-executes the
+    # item-item volume-sized pair exchange for the novelty join)
+    "rec_novelty_itemitem",
 ]
 
 # Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows

@@ -150,6 +150,7 @@ def full_registry() -> tuple[dict, dict]:
         relational33,
         relational34,
         relational35,
+        relational36,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -198,6 +199,7 @@ def full_registry() -> tuple[dict, dict]:
         relational33,
         relational34,
         relational35,
+        relational36,
         recommend,
         dedup_queries,
         sim_queries,

@@ -297,3 +297,26 @@ def test_batch35_single_pass_aggregates_broadcast_dims(spark, sf_dir):
     ):
         assert uses_broadcast_join(fn(spark, sf_dir)), fn.__name__
         assert "SortMergeJoin" not in formatted_plan(fn(spark, sf_dir)), fn.__name__
+
+
+def test_batch36_relational_paths_stay_jvm_side(spark, sf_dir):
+    """Batch 36 (round-10 growth, second wave): every member is a pure
+    relational composition — no cartesian product, no Python anywhere.
+    The bounded windows (PR sweep, runs test) must hang off bounded
+    relations, which the no-cartesian + JVM-side pins protect."""
+    from page_rank_mapreduce_java_spark.operators import relational36
+
+    for fn in (
+        relational36.q_auc_pr_flag_quantity,
+        relational36.q_cliffs_delta_quantity,
+        relational36.q_effect_size_price_flag,
+        relational36.q_orders_runs_test_daily,
+        relational36.q_embedding_fisher_ratio,
+        relational36.q_embedding_participation_ratio,
+        relational36.q_rec_novelty_itemitem,
+        relational36.q_dq_ship_before_order,
+    ):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        df = fn(spark, sf_dir)
+        assert not uses_python_udf(df), fn.__name__
