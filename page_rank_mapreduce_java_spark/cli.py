@@ -151,6 +151,7 @@ def full_registry() -> tuple[dict, dict]:
         relational34,
         relational35,
         relational36,
+        relational37,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -200,6 +201,7 @@ def full_registry() -> tuple[dict, dict]:
         relational34,
         relational35,
         relational36,
+        relational37,
         recommend,
         dedup_queries,
         sim_queries,

@@ -320,3 +320,22 @@ def test_batch36_relational_paths_stay_jvm_side(spark, sf_dir):
         assert "CartesianProduct" not in plan, fn.__name__
         df = fn(spark, sf_dir)
         assert not uses_python_udf(df), fn.__name__
+
+
+def test_batch37_relational_paths_stay_jvm_side(spark, sf_dir):
+    """Batch 37 (round-10 growth, final wave): the trigram explode, the
+    JL sign projection, and the Benford terms are all built-in
+    expression compositions — no cartesian, no Python. The JL pair
+    sample must stay an equi-join (vec_id+1), never an all-pairs
+    product."""
+    from page_rank_mapreduce_java_spark.operators import relational37
+
+    for fn in (
+        relational37.q_text_char_trigram_entropy_by_lang,
+        relational37.q_embedding_jl_projection_audit,
+        relational37.q_dq_benford_chi2_totalprice,
+    ):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        df = fn(spark, sf_dir)
+        assert not uses_python_udf(df), fn.__name__
