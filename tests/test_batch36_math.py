@@ -80,13 +80,11 @@ def test_effect_size_hand_computed():
     d = 100.0 / math.sqrt(20000.0 / 3.0)
     assert d_milli == round(1e3 * d)
     assert g_milli == round(1e3 * d * (1 - 3.0 / (4 * 5 - 9)))
-    # Glass delta divides by the N-group SD (zero here) -> inf; DuckDB
-    # ROUND(inf) -> error? No: CAST(ROUND(inf)) raises; ensure the
-    # query still returned (DuckDB ROUND(inf, 0) = inf, CAST -> error
-    # would have thrown above). glass is engine-defined garbage only
-    # when var_b = 0, which real price data never has; here we just
-    # pin that the row materialized.
-    assert glass is not None or glass is None
+    # Glass delta divides by the N-group SD, which is zero in this
+    # synthetic table (real price data never has a zero-variance
+    # group); d and g above are the pinned values — glass is
+    # intentionally unchecked here.
+    del glass
 
 
 def test_runs_test_hand_computed():
