@@ -290,19 +290,39 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = m.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    # The ln arguments materialize as THEIR OWN integer columns before
+    # the Horner expansion: ln_int_sql references its argument ~20
+    # times, so inlining the compound products `(a·tb + b·ta)` four
+    # times built a projection whose generated Java exceeded janino's
+    # method limits — Spark silently fell back to INTERPRETED
+    # projection for the whole terms stage (ERROR CodeGenerator once
+    # per bench pass, found in round 10). With single-attribute
+    # arguments the method compiles; CollapseProject cannot re-inline
+    # them because a multiply is non-cheap and each is referenced many
+    # times. Values are bit-identical (same integers into the same
+    # formula), so the DuckDB oracle is unchanged.
+    pre = m.crossJoin(F.broadcast(tot)).select(
+        "a",
+        "b",
+        "ta",
+        "tb",
+        F.expr("2 * a * tb").alias("xa"),
+        F.expr("2 * b * ta").alias("xb"),
+        F.expr("a * tb + b * ta").alias("s"),
+    )
     term_a = (
         f"CASE WHEN a > 0 THEN CAST(ROUND(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)"
-        f" * ({ln_int_sql('(2 * a * tb)', 'spark')} - "
-        f"{ln_int_sql('(a * tb + b * ta)', 'spark')}) * 5e5, 0) AS BIGINT) "
+        f" * ({ln_int_sql('xa', 'spark')} - "
+        f"{ln_int_sql('s', 'spark')}) * 5e5, 0) AS BIGINT) "
         f"ELSE 0 END"
     )
     term_b = (
         f"CASE WHEN b > 0 THEN CAST(ROUND(CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)"
-        f" * ({ln_int_sql('(2 * b * ta)', 'spark')} - "
-        f"{ln_int_sql('(a * tb + b * ta)', 'spark')}) * 5e5, 0) AS BIGINT) "
+        f" * ({ln_int_sql('xb', 'spark')} - "
+        f"{ln_int_sql('s', 'spark')}) * 5e5, 0) AS BIGINT) "
         f"ELSE 0 END"
     )
-    terms = m.crossJoin(F.broadcast(tot)).select(
+    terms = pre.select(
         F.expr(term_a).alias("tam"), F.expr(term_b).alias("tbm")
     )
     return terms.agg(
