@@ -139,35 +139,15 @@ def query_hash(fn: Callable, oracle: str | None) -> str:
 # BENCH_r09.json). Same window either way; "round 11" in these
 # comments = the driver's round 10.
 #
-# Window math for the driver's round 10 (the repo's internal round 11):
-# CORRECTNESS_r09 landed 50/50 green and the ledger folded it — the
-# only remaining never-driver-checked queries are the 14 names below,
-# deferred by BOTH prior windows (they sat in the registration-order
-# tail twice). They are pinned to the front so they cannot miss a
-# third window. Each is locally certified at four scale points
-# (sf0.001/sf0.01 oracle gate, dual partition-invariance sweep,
-# sf0.1 window certification, 100× pinned sweep — PERF.md r9 §§8-11).
-# Demand after the fold: 14 never + 0 stale against 50 slots; the
-# remaining ~36 slots absorb anything round 10 registers or stales.
-_PRIORITY_THIS_ROUND: tuple[str, ...] = (
-    "events_dwell_time_by_type",
-    "text_textrank_keywords",
-    "graph_katz_centrality",
-    "dq_event_order_inversions",
-    "orders_month_of_year_index",
-    "graph_wcc_size_histogram",
-    "nation_affinity_lift",
-    "lineitem_winsorized_mean",
-    "embedding_label_centroid_distances",
-    "dedup_savings_tokens",
-    "mm_phash_hamming_histogram",
-    "lineitem_return_rate_by_brand",
-    "customer_value_trend_census",
-    "events_session_length_histogram",
-)
+# Window math for the driver's round 11 (the repo's internal round 12):
+# CORRECTNESS_r10 landed 50/50 green and the ledger folded it — the
+# registry is fully driver-certified (0 never-checked, 0 fail/stale).
+# Nothing is owed a pinned slot; anything round 11 registers or stales
+# (e.g. the ADVICE-r10 JL-sign fix recert) sorts into the window by
+# the evidence groups below.
+_PRIORITY_THIS_ROUND: tuple[str, ...] = ()
 
-# Empty this round: the driver's 50-slot window has ~36 slots of
-# headroom beyond the 14 pinned names, so nothing needs deferring.
+# Empty: the full registry is green; no deferrals outstanding.
 _DEFER_TO_NEXT_ROUND: frozenset[str] = frozenset()
 
 

@@ -660,7 +660,9 @@ def q_dq_ship_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedes their order's order date — the cross-table impossibility
     class (dq_fk_violations checks the keys EXIST; this checks the
     child's timeline is CONSISTENT with the parent's). Output one row:
-    (n_lineitems, n_violations, violation_ppm, max_lead_days).
+    (n_lineitems, n_violations, violation_ppm, max_violation_days),
+    where max_violation_days is the magnitude of the WORST violation
+    (days the ship date precedes the order date; 0 when none).
 
     Exactness: pure integer date arithmetic and counting; ppm via
     integer `div`.
@@ -678,7 +680,12 @@ def q_dq_ship_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = li.join(o, "l_orderkey").select(
         (F.col("ship") < F.col("odate")).cast("long").alias("viol"),
-        F.datediff(F.col("ship"), F.col("odate")).alias("lead_days"),
+        F.when(
+            F.col("ship") < F.col("odate"),
+            F.datediff(F.col("odate"), F.col("ship")),
+        )
+        .otherwise(F.lit(0))
+        .alias("violation_days"),
     )
     return j.agg(
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
@@ -686,7 +693,7 @@ def q_dq_ship_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000000 * sum(viol) div count(1) AS BIGINT)").alias(
             "violation_ppm"
         ),
-        F.max("lead_days").cast("long").alias("max_lead_days"),
+        F.max("violation_days").cast("long").alias("max_violation_days"),
     )
 
 
@@ -694,14 +701,16 @@ DQ_SHIP_BEFORE_ORDER_SQL = """
     WITH j AS (
       SELECT CASE WHEN CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)
                   THEN 1 ELSE 0 END AS viol,
-             datediff('day', CAST(o_orderdate AS DATE),
-                      CAST(l_shipdate AS DATE)) AS lead_days
+             CASE WHEN CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE)
+                  THEN datediff('day', CAST(l_shipdate AS DATE),
+                                CAST(o_orderdate AS DATE))
+                  ELSE 0 END AS violation_days
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
            CAST(SUM(viol) AS BIGINT) AS n_violations,
            CAST(1000000 * SUM(viol) // COUNT(*) AS BIGINT)
              AS violation_ppm,
-           CAST(MAX(lead_days) AS BIGINT) AS max_lead_days
+           CAST(MAX(violation_days) AS BIGINT) AS max_violation_days
     FROM j
 """
 

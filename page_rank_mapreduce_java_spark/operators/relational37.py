@@ -188,8 +188,8 @@ def q_embedding_jl_projection_audit(
             "pid",
             "j",
             F.expr(
-                "CAST((1 - 2 * (conv(substring(md5(concat(pos - 1, ':', j)),"
-                " 1, 15), 16, 10) % 2)) AS BIGINT) * dm"
+                "CAST((1 - 2 * (CAST(conv(substring(md5(concat(pos - 1, ':',"
+                " j)), 1, 15), 16, 10) AS BIGINT) % 2)) AS BIGINT) * dm"
             ).alias("sdm"),
         )
         .groupBy("pid", "j")
@@ -283,7 +283,11 @@ def q_dq_benford_chi2_totalprice(
     probabilities are integer micro literals rendered from the same
     Python constants into both engines; each digit's χ² term is one
     shared expression over exact integers snapped to milli before the
-    9-row sum.
+    9-row sum. The observed counts are left-joined against the full
+    1-9 digit domain with COALESCE(n_d, 0), so a digit with zero
+    occurrences still contributes its (0 − N·p)²/(N·p) term — the
+    textbook df=8 statistic, not the observed-digits-only understate
+    (ADVICE r10).
 
     Scale shape: one map-side-combined groupBy to ≤9 rows; everything
     after is bounded.
@@ -295,8 +299,14 @@ def q_dq_benford_chi2_totalprice(
     agg = o.groupBy(digit.alias("digit")).agg(
         F.count(F.lit(1)).alias("n_d")
     )
-    tot = agg.agg(F.sum("n_d").alias("n"))
-    terms = agg.crossJoin(F.broadcast(tot)).select(
+    full = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("digit"))
+        .join(F.broadcast(agg), "digit", "left")
+        .select("digit", F.coalesce("n_d", F.lit(0)).alias("n_d"))
+    )
+    tot = full.agg(F.sum("n_d").alias("n"))
+    terms = full.crossJoin(F.broadcast(tot)).select(
         "n", F.expr(_CHI2_TERM).alias("t_milli")
     )
     return terms.groupBy("n").agg(F.sum("t_milli").alias("chi2")).select(
@@ -313,9 +323,12 @@ def _benford_chi2_sql() -> str:
       SELECT CAST(substr(CAST({c} AS VARCHAR), 1, 1) AS BIGINT) AS digit,
              COUNT(*) AS n_d
       FROM orders GROUP BY 1),
-    tot AS (SELECT SUM(n_d) AS n FROM agg),
+    filled AS (
+      SELECT t.d AS digit, COALESCE(agg.n_d, 0) AS n_d
+      FROM range(1, 10) t(d) LEFT JOIN agg ON agg.digit = t.d),
+    tot AS (SELECT SUM(n_d) AS n FROM filled),
     terms AS (
-      SELECT n, {_CHI2_TERM} AS t_milli FROM agg, tot)
+      SELECT n, {_CHI2_TERM} AS t_milli FROM filled, tot)
     SELECT CAST(n AS BIGINT) AS n_orders,
            CAST(SUM(t_milli) AS BIGINT) AS chi2_milli,
            CAST(8 AS BIGINT) AS df

@@ -61,6 +61,11 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (events.ts) is unsupported by the Spark
         # reader; read as raw nanos and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin ANSI mode to Spark 4's default explicitly: the exact-integer
+        # oracle contract (string→BIGINT casts in hash parity expressions,
+        # overflow-as-error) was certified under ANSI semantics and must
+        # not drift if a deployment flips the global default (ADVICE r10).
+        .config("spark.sql.ansi.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

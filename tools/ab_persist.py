@@ -16,10 +16,11 @@ from __future__ import annotations
 
 import json
 import statistics
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
     "dedup_minhash_lsh_pairs",

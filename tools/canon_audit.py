@@ -30,11 +30,12 @@ Exit 1 if any HUGEINT/DECIMAL/NULL hazard is found (DOUBLE is warn-only).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"

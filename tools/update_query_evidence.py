@@ -25,10 +25,12 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 
 def main() -> int:
@@ -63,7 +65,7 @@ def main() -> int:
     # Numeric round sort: lexicographic order breaks once zero-padding is
     # inconsistent (r4 vs r10), and "latest verdict wins" depends on it.
     paths = sorted(
-        glob.glob("/root/repo/CORRECTNESS_r*.json"),
+        glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
     for path in paths:
