@@ -152,6 +152,7 @@ def full_registry() -> tuple[dict, dict]:
         relational35,
         relational36,
         relational37,
+        relational38,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -202,6 +203,7 @@ def full_registry() -> tuple[dict, dict]:
         relational35,
         relational36,
         relational37,
+        relational38,
         recommend,
         dedup_queries,
         sim_queries,

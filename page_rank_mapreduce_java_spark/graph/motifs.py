@@ -343,6 +343,19 @@ def kcore_curve(
     via absence from the degree vector without tripping the probe; its
     removal changes no other node's degree, so the fixpoint read-off is
     still exact (same semantics as ``kcore``, r2-certified).
+
+    Plateau skip (round 11): when k-1's peel CONVERGED and the fixpoint
+    degree vector has no node below k, the k-core equals the
+    (k-1)-core — recomputing degrees over the unchanged survivor set
+    would reproduce the identical vector (confluence), so the entire
+    recompute round is skipped and k's snapshot reads the existing
+    checkpointed vector. On plateaued stretches of the curve (min core
+    degree ≥ several k at once — the common shape for dense
+    co-occurrence graphs) this removes whole edge-sized join rounds:
+    one probe (node-sized checkpoint scan) instead of an |E|-scan +
+    degree shuffle + checkpoint per plateaued k. Only taken when the
+    previous k converged (a rounds-exhausted vector is NOT a fixpoint
+    and must keep peeling exactly like the oracle's unroll).
     """
     edges = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
@@ -350,20 +363,35 @@ def kcore_curve(
     und = _undirect(edges).persist()
     active = cut_lineage(und.select(F.col("src").alias("id")).distinct())
     out = None
+    degrees = None
+    converged = False
     for k in range(1, max_k + 1):
-        degrees = None
-        for _ in range(rounds):
-            alive = und.join(active.select(F.col("id").alias("src")), "src").join(
-                active.select(F.col("id").alias("dst")), "dst"
-            )
-            degrees = cut_lineage(
-                alive.groupBy(F.col("src").alias("id")).agg(
-                    F.count(F.lit(1)).alias("core_degree")
+        if (
+            stop_early
+            and converged
+            and degrees is not None
+            and degrees.filter(F.col("core_degree") < k).first() is None
+        ):
+            pass  # plateau: k-core == (k-1)-core; reuse the fixpoint vector
+        else:
+            converged = False
+            for _ in range(rounds):
+                alive = und.join(
+                    active.select(F.col("id").alias("src")), "src"
+                ).join(active.select(F.col("id").alias("dst")), "dst")
+                degrees = cut_lineage(
+                    alive.groupBy(F.col("src").alias("id")).agg(
+                        F.count(F.lit(1)).alias("core_degree")
+                    )
                 )
-            )
-            active = degrees.filter(F.col("core_degree") >= k).select("id")
-            if stop_early and degrees.filter(F.col("core_degree") < k).first() is None:
-                break
+                active = degrees.filter(F.col("core_degree") >= k).select("id")
+                if (
+                    stop_early
+                    and degrees.filter(F.col("core_degree") < k).first()
+                    is None
+                ):
+                    converged = True
+                    break
         row = degrees.filter(F.col("core_degree") >= k).agg(
             F.lit(k).cast("long").alias("k"),
             F.count(F.lit(1)).cast("long").alias("core_size"),

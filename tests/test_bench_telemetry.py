@@ -74,3 +74,23 @@ def test_bandwidth_probe_positive_and_buffer_reused():
     # the 200 MB buffer is allocated once and reused (allocation cost
     # must never leak into the probe reading)
     assert id(bench._BW_BUF) == buf_id
+
+
+def test_quiet_band_decision():
+    # inside the band
+    assert bench._attempt_is_quiet(0.5, 0.07)
+    assert bench._attempt_is_quiet(bench.QUIET_STEAL_PCT, 0.07)
+    # unreadable steal counts as quiet (nothing to adjudicate with)
+    assert bench._attempt_is_quiet(None, 0.07)
+    # either probe outside the band -> retry
+    assert not bench._attempt_is_quiet(2.1, 0.07)
+    assert not bench._attempt_is_quiet(0.5, 0.13)
+
+
+def test_choose_attempt_prefers_least_steal_then_readable():
+    a = {"steal": 3.0, "bw": 0.07}
+    b = {"steal": 0.4, "bw": 0.2}
+    assert bench._choose_attempt([a, b]) is b
+    # a readable steal beats an unreadable one, whatever its value
+    c = {"steal": None, "bw": 0.06}
+    assert bench._choose_attempt([c, a]) is a

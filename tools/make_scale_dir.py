@@ -17,7 +17,16 @@ without changing its per-copy statistics:
     of orders/lineitem with dangling FKs, so any dim-join smoke query
     silently dropped (N-1)/N of the fact rows). Nation/region keys are
     never offset, so the dims' *_nationkey columns stay valid.
-  - everything else is symlinked (the smoke queries don't read it).
+  - events: event_id/user_id offset (VERDICT r10 next #5) — the
+    session/funnel/dwell family scales by disjoint users; timestamps
+    repeat per copy, so per-user temporal structure is preserved.
+  - embeddings: vec_id offset; vectors repeat per copy, so per-vector
+    and per-label aggregates (mahalanobis, fisher, participation, JL,
+    quantize, silhouette) scale honestly. CAVEAT: cross-copy vectors
+    are exact twins, so nearest-neighbor-structure queries (ANN
+    recall-type) should not take scale EVIDENCE from this dir — volume
+    scaling (pair counts, top-k heap pressure) is still real.
+  - region/nation are symlinked (never offset).
 
 Usage: python tools/make_scale_dir.py [src_sf_dir] [dst_dir] [factor]
 """
@@ -62,7 +71,7 @@ def main() -> int:
     con.execute(f"""
         COPY (SELECT o_orderkey + i * {ok} AS o_orderkey,
                      o_custkey + i * {ck} AS o_custkey,
-                     * EXCLUDE (o_orderkey, o_custkey)
+                     * EXCLUDE (o_orderkey, o_custkey, i)
               FROM read_parquet('{p("orders")}') CROSS JOIN range({factor}) t(i))
         TO '{p("orders", dst)}' (FORMAT PARQUET)
     """)
@@ -70,14 +79,14 @@ def main() -> int:
         COPY (SELECT l_orderkey + i * {ok} AS l_orderkey,
                      l_partkey + i * {pk} AS l_partkey,
                      l_suppkey + i * {sk} AS l_suppkey,
-                     * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
+                     * EXCLUDE (l_orderkey, l_partkey, l_suppkey, i)
               FROM read_parquet('{p("lineitem")}') CROSS JOIN range({factor}) t(i))
         TO '{p("lineitem", dst)}' (FORMAT PARQUET)
     """)
     con.execute(f"""
         COPY (SELECT doc_id + i * {dk} AS doc_id,
                      'c' || i || ' ' || text AS text,
-                     * EXCLUDE (doc_id, text)
+                     * EXCLUDE (doc_id, text, i)
               FROM read_parquet('{p("documents")}') CROSS JOIN range({factor}) t(i))
         TO '{p("documents", dst)}' (FORMAT PARQUET)
     """)
@@ -92,16 +101,36 @@ def main() -> int:
             os.unlink(p(table, dst))
         con.execute(f"""
             COPY (SELECT {col} + i * {key_off} AS {col},
-                         * EXCLUDE ({col})
+                         * EXCLUDE ({col}, i)
                   FROM read_parquet('{p(table)}') CROSS JOIN range({factor}) t(i))
             TO '{p(table, dst)}' (FORMAT PARQUET)
         """)
-    for t in ("region", "nation", "events", "embeddings"):
+    ek, uk = off("events", "event_id"), off("events", "user_id")
+    vk = off("embeddings", "vec_id")
+    for table, sql in (
+        ("events", f"""
+            SELECT event_id + i * {ek} AS event_id,
+                   user_id + i * {uk} AS user_id,
+                   * EXCLUDE (event_id, user_id, i)
+            FROM read_parquet('{p("events")}') CROSS JOIN range({factor}) t(i)
+         """),
+        ("embeddings", f"""
+            SELECT vec_id + i * {vk} AS vec_id,
+                   * EXCLUDE (vec_id, i)
+            FROM read_parquet('{p("embeddings")}') CROSS JOIN range({factor}) t(i)
+         """),
+    ):
+        if os.path.islink(p(table, dst)):
+            os.unlink(p(table, dst))
+        con.execute(
+            f"COPY ({sql}) TO '{p(table, dst)}' (FORMAT PARQUET)"
+        )
+    for t in ("region", "nation"):
         link = p(t, dst)
         if not os.path.exists(link):
             os.symlink(p(t), link)
     for t in ("orders", "lineitem", "documents", "customer", "part",
-              "supplier"):
+              "supplier", "events", "embeddings"):
         n = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{p(t, dst)}')"
         ).fetchone()[0]

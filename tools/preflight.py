@@ -67,6 +67,17 @@ def main() -> int:
         return 1
 
     py = sys.executable
+    if os.environ.get("SPARK_GRAFT_PREFLIGHT_CODEGEN", "1") != "0":
+        # Whole-stage-codegen gate (VERDICT r10 next #6): a silent
+        # interpreted fallback is invisible to walls at local SF but a
+        # 2-10x per-row tax at 100 TB; fail the round before the driver
+        # sees it. SPARK_GRAFT_PREFLIGHT_CODEGEN=0 skips (iterating).
+        print("-- codegen sweep (full registry, sf0.001) --")
+        r = subprocess.run(
+            [py, os.path.join(here, "tools", "codegen_sweep.py")]
+        )
+        if r.returncode:
+            return r.returncode
     print("-- canon audit --")
     r = subprocess.run([py, os.path.join(here, "tools", "canon_audit.py"),
                         "/root/testdata/sf0.001"])
