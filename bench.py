@@ -177,6 +177,11 @@ HEADLINE = [
     # round 10 batch-36 registration (the heavy member: re-executes the
     # item-item volume-sized pair exchange for the novelty join)
     "rec_novelty_itemitem",
+    # round 11 batch-38 registrations (the heavy members: the global
+    # bottom-k heap scan of lineitem, and the merge audit's two
+    # independent scans + partitioned-window grouped sketch)
+    "sketch_quantile_bottomk",
+    "sketch_quantile_merge_audit",
 ]
 
 # Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows
@@ -205,6 +210,15 @@ INDEX_BUILD_WARMUP = ["ann_pq_serve_topk", "ann_ivfpq_serve_topk"]
 # round runs a ~0.3 s probe immediately BEFORE each group, and vs_prev
 # adjusts each query's regression threshold by ITS group's load ratio.
 GROUP_SIZE = 8
+
+# Quiet band for the self-cleaning group retry (VERDICT r10 next #4):
+# a group attempt whose steal% or memory-bandwidth probe exceeds these
+# is contaminated by ambient host noise (the two documented classes:
+# bursty CPU steal, memory-bus contention) and earns one retry. The bw
+# probe reads ~0.06-0.07 s on a quiet host; 0.12 s = the 2× contention
+# signature seen in every adjudicated bus-noise flag.
+QUIET_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL_PCT", "2.0"))
+QUIET_BW_SEC = float(os.environ.get("SPARK_GRAFT_QUIET_BW_SEC", "0.12"))
 
 
 def _cpu_counters() -> list[int] | None:
@@ -288,6 +302,18 @@ def _calibration_probe(spark) -> float:
     return round(_t.time() - t0, 3)
 
 
+def _attempt_is_quiet(steal: float | None, bw: float) -> bool:
+    """True when a group attempt's probes sit inside the quiet band
+    (steal unreadable counts as quiet — nothing to adjudicate with)."""
+    return (steal is None or steal <= QUIET_STEAL_PCT) and bw <= QUIET_BW_SEC
+
+
+def _choose_attempt(attempts: list[dict]) -> dict:
+    """Pick the least-stolen attempt; a readable steal beats an
+    unreadable one so a telemetry outage can't mask a noisy retry."""
+    return min(attempts, key=lambda a: (a["steal"] is None, a["steal"] or 0.0))
+
+
 def _groups() -> list[list[str]]:
     return [HEADLINE[i : i + GROUP_SIZE] for i in range(0, len(HEADLINE), GROUP_SIZE)]
 
@@ -368,6 +394,7 @@ def main() -> None:
     group_samples: list[list[float]] = [[] for _ in groups]
     group_steal_samples: list[list[float]] = [[] for _ in groups]
     group_bw_samples: list[list[float]] = [[] for _ in groups]
+    group_retry_log: list[dict] = []
     bench_cpu0 = _cpu_counters()
     for _ in range(runs):
         # Drop the memoized PageRank rank vector: a repeat run must
@@ -376,19 +403,63 @@ def main() -> None:
 
         _RANKS_CACHE.clear()
         for gi, group in enumerate(groups):
-            group_bw_samples[gi].append(_bandwidth_probe())
-            group_samples[gi].append(_calibration_probe(spark))
-            # Snapshot AFTER the probes so the steal interval covers only
-            # the timed queries, not probe time (ADVICE r9).
-            cpu0 = _cpu_counters()
+            # Self-cleaning rows (VERDICT r10 next #4): a group whose
+            # steal/bw probes land outside the quiet band gets ONE timed
+            # retry — the builder can rerun a noisy bench by hand, but
+            # the driver's graded row cannot, and round 10 burned ten
+            # flags on a 3%-steal host. Both attempts are recorded
+            # (out["group_retries"]); the attempt with less steal wins.
+            attempts = []
+            max_attempts = 1 + max(
+                0, int(os.environ.get("SPARK_GRAFT_BENCH_GROUP_RETRIES", "1"))
+            )
+            for attempt in range(max_attempts):
+                if attempt and "graph_pagerank" in group:
+                    # A retried pagerank must re-run the superstep loop,
+                    # not read the vector the first attempt memoized.
+                    _RANKS_CACHE.clear()
+                bw = _bandwidth_probe()
+                probe = _calibration_probe(spark)
+                # Snapshot AFTER the probes so the steal interval covers
+                # only the timed queries, not probe time (ADVICE r9).
+                cpu0 = _cpu_counters()
+                walls = {}
+                for name in group:
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    walls[name] = round(time.time() - t0, 3)
+                    spark.catalog.clearCache()
+                st = _steal_pct(cpu0, _cpu_counters())
+                attempts.append(
+                    {"bw": bw, "probe": probe, "steal": st, "walls": walls}
+                )
+                if _attempt_is_quiet(st, bw):
+                    break
+            chosen = _choose_attempt(attempts)
+            if len(attempts) > 1:
+                group_retry_log.append(
+                    {
+                        "group": gi,
+                        "first": group[0],
+                        "attempts": [
+                            {
+                                "steal": a["steal"],
+                                "bw": a["bw"],
+                                "probe": a["probe"],
+                                "used": a is chosen,
+                            }
+                            for a in attempts
+                        ],
+                    }
+                )
+            group_bw_samples[gi].append(chosen["bw"])
+            group_samples[gi].append(chosen["probe"])
             for name in group:
-                t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples[name].append(round(time.time() - t0, 3))
-                spark.catalog.clearCache()
-            st = _steal_pct(cpu0, _cpu_counters())
-            if st is not None:
-                group_steal_samples[gi].append(st)
+                samples[name].append(chosen["walls"][name])
+            if chosen["steal"] is not None:
+                group_steal_samples[gi].append(chosen["steal"])
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -468,6 +539,8 @@ def main() -> None:
     if flat_bw:
         out["bw_probe_sec"] = median(flat_bw)
         out["bw_probe_max_sec"] = max(flat_bw)
+    if group_retry_log:
+        out["group_retries"] = group_retry_log
         out["group_bw"] = group_bw
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec
