@@ -25,6 +25,31 @@ sys.path.insert(
 )
 
 
+def wait_for_quiet_host(
+    threshold_pct: float = 1.0,
+    window_sec: float = 10.0,
+    poll_sec: float = 60.0,
+    max_wait_sec: float = 1800.0,
+) -> float:
+    """Block until host steal%% over a window_sec sample drops below
+    threshold_pct (the round-11 quiet-window protocol: an adjudication
+    measured during an ambient burst adjudicates nothing). Returns the
+    last observed steal%%; gives up after max_wait_sec and proceeds —
+    the per-rep steal telemetry still marks the run dirty."""
+    import bench
+
+    waited = 0.0
+    while True:
+        a = bench._cpu_counters()
+        time.sleep(window_sec)
+        s = bench._steal_pct(a, bench._cpu_counters())
+        print(f"pre-steal: {s}%", flush=True)
+        if s is None or s < threshold_pct or waited >= max_wait_sec:
+            return s if s is not None else 0.0
+        waited += window_sec + poll_sec
+        time.sleep(poll_sec)
+
+
 def main() -> None:
     qname = sys.argv[1]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -34,6 +59,9 @@ def main() -> None:
 
     import __spark_entry__ as entry
     import bench
+
+    if os.environ.get("SPARK_GRAFT_QUIET_WAIT", "0") != "0":
+        wait_for_quiet_host()
 
     spark = (
         SparkSession.builder.master("local[32]")
