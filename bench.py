@@ -309,19 +309,57 @@ def _attempt_is_quiet(steal: float | None, bw: float) -> bool:
 
 
 def _choose_attempt(attempts: list[dict]) -> dict:
-    """Pick the least-stolen attempt; a readable steal beats an
-    unreadable one so a telemetry outage can't mask a noisy retry."""
-    return min(attempts, key=lambda a: (a["steal"] is None, a["steal"] or 0.0))
+    """Pick the best attempt: any in-quiet-band attempt (steal AND bw
+    probe both clean) beats any out-of-band one, so a retry triggered by
+    the memory-bus noise class can win even when its steal is slightly
+    higher; ties rank by readable-steal-first then lowest steal."""
+    return min(
+        attempts,
+        key=lambda a: (
+            not _attempt_is_quiet(a["steal"], a.get("bw", 0.0)),
+            a["steal"] is None,
+            a["steal"] or 0.0,
+        ),
+    )
 
 
 def _groups() -> list[list[str]]:
     return [HEADLINE[i : i + GROUP_SIZE] for i in range(0, len(HEADLINE), GROUP_SIZE)]
 
 
+def _wait_for_quiet_row(
+    threshold_pct: float = 1.0,
+    window_sec: float = 10.0,
+    poll_sec: float = 30.0,
+    max_wait_sec: float = 300.0,
+) -> tuple[float, float]:
+    """Block (bounded) until host steal%% over a window drops below
+    threshold_pct, so the whole graded row starts inside a verified-quiet
+    window (VERDICT r11 next #5 — cheaper than more group retries). Gives
+    up after max_wait_sec: the per-group probes still mark a dirty run.
+    Returns (last observed steal%%, seconds waited)."""
+    waited = 0.0
+    while True:
+        a = _cpu_counters()
+        time.sleep(window_sec)
+        s = _steal_pct(a, _cpu_counters())
+        waited += window_sec
+        if s is None or s < threshold_pct or waited >= max_wait_sec:
+            return (s if s is not None else 0.0), round(waited, 1)
+        print(f"bench: pre-row steal {s}% — waiting for quiet", file=sys.stderr)
+        time.sleep(poll_sec)
+        waited += poll_sec
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Pre-row quiet wait (default ON; SPARK_GRAFT_QUIET_WAIT=0 disables).
+    pre_steal, quiet_waited = (None, 0.0)
+    if os.environ.get("SPARK_GRAFT_QUIET_WAIT", "1") != "0":
+        pre_steal, quiet_waited = _wait_for_quiet_row()
 
     import __spark_entry__ as entrymod
     from page_rank_mapreduce_java_spark import get_spark
@@ -532,6 +570,9 @@ def main() -> None:
     host_steal = _steal_pct(bench_cpu0, _cpu_counters())
     if host_steal is not None:
         out["host_steal_pct"] = host_steal
+    if pre_steal is not None:
+        out["pre_row_steal_pct"] = pre_steal
+        out["quiet_wait_sec"] = quiet_waited
     flat_steal = [s for g in group_steal_samples for s in g]
     if flat_steal:
         out["group_steal_max_pct"] = max(flat_steal)
@@ -539,9 +580,12 @@ def main() -> None:
     if flat_bw:
         out["bw_probe_sec"] = median(flat_bw)
         out["bw_probe_max_sec"] = max(flat_bw)
+        # group_bw must be present on CLEAN rows too — vs_prev's
+        # group_bw_ratio noise-class signal (ADVICE r11: keying it on
+        # group_retry_log dropped it exactly when the row was quiet).
+        out["group_bw"] = group_bw
     if group_retry_log:
         out["group_retries"] = group_retry_log
-        out["group_bw"] = group_bw
     if emr_sec is not None:
         out["emr_k1000_x10_sec"] = emr_sec
         out.update(emr_extra)

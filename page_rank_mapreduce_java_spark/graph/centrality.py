@@ -128,6 +128,136 @@ def stress_centrality_sampled(
     return out
 
 
+def betweenness_sampled(
+    sym: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 4,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Depth-bounded, source-sampled betweenness centrality (Brandes
+    2001 two-phase accumulation; Brandes–Pich 2007 source sampling) —
+    the FRACTIONAL member of the family next to stress_centrality_
+    sampled's integer path counts.
+
+    Brandes' dependency δ(v) = Σ_{w ∈ DAG-succ(v)} σ(v)/σ(w)·(1+δ(w))
+    sums true rationals, and floating accumulation of those ratios is
+    summation-order-dependent — the reason this repo shipped stress
+    first. The determinism fix is the money convention transplanted to
+    rank space: δ is carried as a BIGINT in 1/scale units and every
+    edge contribution rounds ONCE through integer division,
+
+        δ_fp(v) = Σ_w (σ(v) · (scale + δ_fp(w))) div σ(w),
+
+    which both engines evaluate bit-identically in any summation order
+    (integer sums commute; the div happens at a fixed place in the
+    level recursion, not "at the end"). σ(v) ≤ σ(w) along DAG edges
+    (σ(w) sums over ALL its predecessors), so each term is ≤
+    scale + δ_fp(w) and the per-term floor error is < 1 unit; the
+    result is betweenness in 1/scale units with a deterministic,
+    documented rounding — a SKETCH-grade rank statistic, not the exact
+    rational (which no fixed-width engine returns anyway).
+
+    Overflow: the product σ(v)·(scale + δ_fp(w)) is the widest value.
+    Both engines run it in BIGINT with loud overflow (Spark under the
+    pinned ANSI mode, DuckDB natively), so a graph that exceeds int64
+    headroom FAILS rather than silently wrapping; tests pin the
+    measured headroom at the certified SFs.
+
+    ``sym``: symmetrized simple edge relation DataFrame[src, dst];
+    ``sources``: DataFrame[src]. Returns DataFrame[id, betweenness_fp]
+    over every node of ``sym`` (0 where never interior), fp = 1/scale
+    units, endpoints excluded exactly as in stress.
+
+    Scale shape: identical to stress_centrality_sampled — per level one
+    frontier⋈edges join + one (s, id) grouped sum each way; state is
+    frontier-sized × |sources|, never edge-sized.
+    """
+    sym = sym.select("src", "dst").persist()
+
+    lvl0 = cut_lineage(
+        sources.select(
+            F.col("src").alias("s"),
+            F.col("src").alias("id"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    levels = [lvl0]
+    visited = cut_lineage(lvl0.select("s", "id"))
+    for _ in range(max_depth):
+        prev = levels[-1]
+        cand = (
+            prev.join(sym, prev.id == sym.src)
+            .select("s", F.col("dst").alias("id"), "sigma")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = cut_lineage(cand.join(visited, ["s", "id"], "left_anti"))
+        levels.append(nxt)
+        visited = cut_lineage(visited.unionByName(nxt.select("s", "id")))
+
+    # backward accumulation of fixed-point dependencies δ_fp
+    deepest = levels[max_depth]
+    parts = [
+        deepest.select(
+            "s", "id", "sigma", F.lit(0).cast("long").alias("delta")
+        )
+    ]
+    above = parts[0]
+    for l in range(max_depth - 1, -1, -1):
+        cur = levels[l]
+        succ = (
+            cur.select(
+                "s",
+                F.col("id").alias("v"),
+                F.col("sigma").alias("sv"),
+            )
+            .join(sym, F.col("v") == sym.src)
+            .select("s", "v", "sv", F.col("dst").alias("w"))
+            .join(
+                above.select(
+                    "s",
+                    F.col("id").alias("w"),
+                    F.col("sigma").alias("sw"),
+                    F.col("delta").alias("dw"),
+                ),
+                ["s", "w"],
+            )
+            .groupBy("s", F.col("v").alias("id"))
+            .agg(
+                F.sum(
+                    F.expr(f"(sv * ({scale} + dw)) div sw")
+                ).alias("delta")
+            )
+        )
+        cur_d = cut_lineage(
+            cur.join(succ, ["s", "id"], "left").select(
+                "s",
+                "id",
+                "sigma",
+                F.coalesce("delta", F.lit(0)).cast("long").alias("delta"),
+            )
+        )
+        parts.append(cur_d)
+        above = cur_d
+
+    # parts[-1] is level 0 (v = s: endpoint, not interior) — excluded.
+    interior = parts[0]
+    for p in parts[1:-1]:
+        interior = interior.unionByName(p)
+    bc = interior.groupBy("id").agg(F.sum("delta").alias("betweenness_fp"))
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    out = cut_lineage(
+        nodes.join(bc, "id", "left").select(
+            "id",
+            F.coalesce("betweenness_fp", F.lit(0))
+            .cast("long")
+            .alias("betweenness_fp"),
+        )
+    )
+    sym.unpersist()
+    return out
+
+
 def labeled_bfs_levels(
     sym: DataFrame, sources: DataFrame, max_depth: int = 4
 ) -> DataFrame:

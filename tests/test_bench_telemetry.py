@@ -87,10 +87,21 @@ def test_quiet_band_decision():
     assert not bench._attempt_is_quiet(0.5, 0.13)
 
 
-def test_choose_attempt_prefers_least_steal_then_readable():
+def test_choose_attempt_ranks_quiet_first_then_steal():
+    # Neither attempt quiet (a: steal class, b: bw class) -> lowest steal
     a = {"steal": 3.0, "bw": 0.07}
     b = {"steal": 0.4, "bw": 0.2}
     assert bench._choose_attempt([a, b]) is b
-    # a readable steal beats an unreadable one, whatever its value
+    # ADVICE r11: a bandwidth-contaminated low-steal attempt must LOSE to
+    # a quiet retry with slightly higher steal — the bus-class retry is
+    # pointless if it can never win on steal alone.
+    dirty_bw = {"steal": 0.1, "bw": 0.2}
+    quiet = {"steal": 0.3, "bw": 0.06}
+    assert bench._choose_attempt([dirty_bw, quiet]) is quiet
+    # Among quiet attempts, a readable steal beats an unreadable one
     c = {"steal": None, "bw": 0.06}
-    assert bench._choose_attempt([c, a]) is a
+    d = {"steal": 1.5, "bw": 0.06}
+    assert bench._choose_attempt([c, d]) is d
+    # A quiet unreadable-steal attempt still beats a non-quiet readable
+    # one (its bw probe is clean, which IS adjudicable telemetry)
+    assert bench._choose_attempt([c, a]) is c

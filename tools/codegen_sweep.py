@@ -56,6 +56,10 @@ def main() -> int:
                 errors.append((name, repr(e)))
             spark.catalog.clearCache()
         elapsed = time.time() - t0
+        # Stop the JVM BEFORE restoring fd 2: log4j buffers
+        # asynchronously, and 'Failed to compile' lines flushed after
+        # the capture read would be silently missed (ADVICE r11).
+        spark.stop()
     finally:
         os.dup2(saved_fd, 2)
         os.close(saved_fd)

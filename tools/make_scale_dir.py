@@ -20,12 +20,17 @@ without changing its per-copy statistics:
   - events: event_id/user_id offset (VERDICT r10 next #5) — the
     session/funnel/dwell family scales by disjoint users; timestamps
     repeat per copy, so per-user temporal structure is preserved.
-  - embeddings: vec_id offset; vectors repeat per copy, so per-vector
-    and per-label aggregates (mahalanobis, fisher, participation, JL,
-    quantize, silhouette) scale honestly. CAVEAT: cross-copy vectors
-    are exact twins, so nearest-neighbor-structure queries (ANN
-    recall-type) should not take scale EVIDENCE from this dir — volume
-    scaling (pair counts, top-k heap pressure) is still real.
+  - embeddings: vec_id offset, and copies i >= 1 get a DETERMINISTIC
+    per-copy vector perturbation (VERDICT r11 next #3 — exact cross-copy
+    twins made ANN-recall evidence volume-only): component ((i*7)%64)+1
+    is translated by 0.4*i (copies drift into distinct regions, like a
+    sharded corpus), and every component gets an integer-hash jitter of
+    amplitude 0.02*i keyed on (new vec_id, pos) — a Knuth multiplicative
+    mix, version-independent arithmetic, reproducible bit-for-bit on
+    rebuild. Copy 0 stays byte-identical to the source, so sf0.1-vs-10x
+    comparisons keep one unperturbed anchor copy. Both engines read the
+    same parquet, so oracles are unaffected; nearest-neighbor structure
+    is now copy-dependent and non-degenerate (no distance-0 ties).
   - region/nation are symlinked (never offset).
 
 Usage: python tools/make_scale_dir.py [src_sf_dir] [dst_dir] [factor]
@@ -116,7 +121,16 @@ def main() -> int:
          """),
         ("embeddings", f"""
             SELECT vec_id + i * {vk} AS vec_id,
-                   * EXCLUDE (vec_id, i)
+                   CAST(CASE WHEN i = 0 THEN embedding ELSE
+                     list_transform(embedding, (x, pos) ->
+                       x
+                       + CASE WHEN pos = ((i * 7) % 64) + 1
+                              THEN 0.4 * i ELSE 0.0 END
+                       + ((((((vec_id + i * {vk}) * 64 + pos)
+                              * 2654435761) % 4294967296) % 2001) - 1000)
+                         / 1000.0 * (0.02 * i))
+                   END AS FLOAT[]) AS embedding,
+                   * EXCLUDE (vec_id, embedding, i)
             FROM read_parquet('{p("embeddings")}') CROSS JOIN range({factor}) t(i)
          """),
     ):
