@@ -182,6 +182,11 @@ HEADLINE = [
     # independent scans + partitioned-window grouped sketch)
     "sketch_quantile_bottomk",
     "sketch_quantile_merge_audit",
+    # round 12 batch-39 registrations (the heavy members: the two-phase
+    # sampled-source betweenness chassis, and the bigram heavy-hitters
+    # pairing window + sharded top-m merge)
+    "graph_betweenness_sampled",
+    "sketch_heavy_hitters_topk",
 ]
 
 # Rotating non-headline slice (VERDICT r6 next #5): 66 headline rows

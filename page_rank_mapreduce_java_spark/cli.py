@@ -153,6 +153,7 @@ def full_registry() -> tuple[dict, dict]:
         relational36,
         relational37,
         relational38,
+        relational39,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -204,6 +205,7 @@ def full_registry() -> tuple[dict, dict]:
         relational36,
         relational37,
         relational38,
+        relational39,
         recommend,
         dedup_queries,
         sim_queries,

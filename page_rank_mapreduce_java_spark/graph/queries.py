@@ -1178,6 +1178,91 @@ def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BETWEENNESS_SCALE = 10_000  # δ carried in 1e-4 units (see graph/centrality.py)
+
+
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-4 approximate betweenness from the BFS source customers
+    over the symmetrized interaction graph — Brandes' two-phase
+    dependency accumulation with source sampling (Brandes–Pich 2007),
+    the fractional sibling of graph_stress_centrality. Dependencies are
+    carried as BIGINT fixed-point in 1/BETWEENNESS_SCALE units with one
+    integer division per DAG edge (graph/centrality.py documents the
+    rounding contract), so the result is bit-exact on any partitioning
+    and the oracle unrolls the identical recursion. Source-sampled
+    (custkey ≤ BFS_SOURCE_MAX) and depth-bounded exactly like
+    graph_bfs_hops; truncation is part of the certified semantics."""
+    from page_rank_mapreduce_java_spark.graph.algorithms import _symmetrize
+    from page_rank_mapreduce_java_spark.graph.centrality import (
+        betweenness_sampled,
+    )
+
+    edges = derived_edges(spark, sf_dir)
+    sources = edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
+    return betweenness_sampled(
+        _symmetrize(edges),
+        sources,
+        max_depth=STRESS_DEPTH,
+        scale=BETWEENNESS_SCALE,
+    )
+
+
+def _betweenness_oracle_sql(
+    depth: int = STRESS_DEPTH, scale: int = BETWEENNESS_SCALE
+) -> str:
+    """DuckDB unroll of betweenness_sampled: the stress oracle's forward
+    pass verbatim, a backward pass carrying (sigma, delta) with the same
+    per-edge integer division, interior = levels ≥ 1 summing delta."""
+    base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+srcs AS (SELECT DISTINCT src AS id FROM edges WHERE src <= {BFS_SOURCE_MAX}),
+f0 AS MATERIALIZED (SELECT id AS s, id, CAST(1 AS BIGINT) AS sigma FROM srcs),
+v0 AS MATERIALIZED (SELECT s, id FROM f0)"""
+    steps = []
+    for i in range(1, depth + 1):
+        p = i - 1
+        steps.append(
+            f""",
+f{i} AS MATERIALIZED (
+  SELECT p.s, e.dst AS id, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM f{p} p JOIN sym e ON p.id = e.src
+  LEFT JOIN v{p} v ON v.s = p.s AND v.id = e.dst
+  WHERE v.id IS NULL
+  GROUP BY p.s, e.dst),
+v{i} AS MATERIALIZED (SELECT s, id FROM v{p} UNION ALL SELECT s, id FROM f{i})"""
+        )
+    steps.append(
+        f""",
+d{depth} AS MATERIALIZED (
+  SELECT s, id, sigma, CAST(0 AS BIGINT) AS delta FROM f{depth})"""
+    )
+    for l in range(depth - 1, -1, -1):
+        steps.append(
+            f""",
+d{l} AS MATERIALIZED (
+  SELECT c.s, c.id, c.sigma,
+         CAST(COALESCE(SUM((c.sigma * ({scale} + dn.delta)) // dn.sigma),
+                       0) AS BIGINT) AS delta
+  FROM f{l} c
+  LEFT JOIN sym e ON c.id = e.src
+  LEFT JOIN d{l + 1} dn ON dn.s = c.s AND dn.id = e.dst
+  GROUP BY c.s, c.id, c.sigma)"""
+        )
+    interior = " UNION ALL ".join(
+        f"SELECT id, delta FROM d{l}" for l in range(1, depth + 1)
+    )
+    return (
+        base
+        + "".join(steps)
+        + f""",
+contrib AS ({interior}),
+nodes AS (SELECT DISTINCT src AS id FROM sym)
+SELECT n.id,
+       CAST(COALESCE(SUM(u.delta), 0) AS BIGINT) AS betweenness_fp
+FROM nodes n LEFT JOIN contrib u ON n.id = u.id GROUP BY n.id"""
+    )
+
+
 def _stress_oracle_sql(depth: int = STRESS_DEPTH) -> str:
     base = f"""WITH edges AS MATERIALIZED ({EDGES_SQL}),
 sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
@@ -1255,6 +1340,7 @@ QUERIES = {
     "graph_clustering_coeff": q_clustering_coeff,
     "graph_degree_assortativity": q_degree_assortativity,
     "graph_stress_centrality": q_stress_centrality,
+    "graph_betweenness_sampled": q_betweenness_sampled,
 }
 
 ORACLES = {
@@ -1291,6 +1377,7 @@ ORACLES = {
     "graph_jaccard_neighbors": JACCARD_NEIGHBORS_SQL,
     "graph_degree_assortativity": ASSORTATIVITY_SQL,
     "graph_stress_centrality": _stress_oracle_sql(),
+    "graph_betweenness_sampled": _betweenness_oracle_sql(),
 }
 
 # Import placed late to keep the oracle builders' reading order; the

@@ -29,10 +29,20 @@ by shard p had at most cap_p occurrences there. Any key with
 f(key) > Σ_p cap_p therefore survives somewhere — the Misra-Gries
 frequent-item guarantee with n/m replaced by the measured caps.
 
-Scale shape: one shuffle to (shard, key) exact counts with map-side
-combine, a PARTITIONED window over P bounded groups, and a
-coordinator-sized merge (≤ P·M rows). At 1000 executors P scales with
-the cluster and the fact table is never globally sorted.
+The key domain is word BIGRAMS (collocation mining — the n-gram
+heavy-hitter pass a pretraining pipeline runs for boilerplate/phrase
+detection), built with the same doc-partitioned lead() pairing
+text_bigram_nll certified: the synthetic corpus's unigram vocabulary
+(31 words) is smaller than any useful M, which would make the sketch
+vacuously exact, while its ~930 bigrams give every shard ~900 distinct
+keys against M = 64 counters — the sketch genuinely evicts, so the
+audit exercises the guarantee rather than an identity.
+
+Scale shape: one doc-keyed pairing window + one shuffle to
+(shard, key) exact counts with map-side combine, a PARTITIONED window
+over P bounded groups, and a coordinator-sized merge (≤ P·M rows). At
+1000 executors P scales with the cluster and the token facts are never
+globally sorted.
 
 Exactness: all counts are BIGINT; ordering ties break on the key
 string itself, so top-M/top-K selection can never diverge between
@@ -50,7 +60,7 @@ from page_rank_mapreduce_java_spark.functions.text_queries import WORDS_SQL
 from page_rank_mapreduce_java_spark.functions.textfn import words
 
 HH_SHARDS = 32  # P: deterministic "executor" count
-HH_PER_SHARD = 64  # M: counters kept per shard
+HH_PER_SHARD = 64  # M: counters kept per shard (per-shard domain ~900)
 HH_TOPK = 20  # K: reported heavy hitters
 HH_LANG_TOPK = 5  # grouped form: hitters reported per language
 
@@ -58,30 +68,49 @@ _SHARD_SQL = f"({md5_long_sql('CAST(doc_id AS VARCHAR)')} % {HH_SHARDS})"
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per token instance: (doc_id, lang, shard, token) —
-    whitespace tokens of lowercased text (the shared words() contract),
-    empty tokens dropped, sharded by the document's 60-bit hash."""
+    """One row per bigram instance: (lang, shard, token) — adjacent
+    whitespace-token pairs of lowercased text (the words() contract,
+    paired by the same doc-partitioned lead() as text_bigram_nll),
+    pairs touching an empty token dropped, sharded by the document's
+    60-bit hash."""
     d = load_table(spark, "documents", sf_dir)
+    wx = d.select(
+        "doc_id",
+        "lang",
+        (md5_long(F.col("doc_id").cast("string")) % HH_SHARDS).alias(
+            "shard"
+        ),
+        F.posexplode(words(F.col("text"))).alias("pos", "w1"),
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        d.select(
-            "doc_id",
-            "lang",
-            (md5_long(F.col("doc_id").cast("string")) % HH_SHARDS).alias(
-                "shard"
-            ),
-            F.explode(words(F.col("text"))).alias("token"),
+        wx.withColumn("w2", F.lead("w1").over(wlead))
+        .filter(
+            F.col("w2").isNotNull()
+            & (F.col("w1") != "")
+            & (F.col("w2") != "")
         )
-        .filter(F.col("token") != "")
+        .select(
+            "lang",
+            "shard",
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("token"),
+        )
     )
 
 
-_TOKENS_SQL = f"""
-      SELECT doc_id, lang, {_SHARD_SQL} AS shard,
-             unnest({WORDS_SQL}) AS token
-      FROM documents
-"""
 _TOKENS_FILTERED = f"""
-    tok AS (SELECT * FROM ({_TOKENS_SQL}) WHERE token <> '')
+    wx AS (
+      SELECT doc_id, lang, {_SHARD_SQL} AS shard,
+             generate_subscripts({WORDS_SQL}, 1) AS pos,
+             unnest({WORDS_SQL}) AS w1
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang, shard, w1,
+             lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM wx QUALIFY w2 IS NOT NULL),
+    tok AS (
+      SELECT lang, shard, w1 || ' ' || w2 AS token
+      FROM bg WHERE w1 <> '' AND w2 <> '')
 """
 
 
@@ -171,6 +200,15 @@ def q_sketch_heavy_hitters_audit(
     - total_cap: Σ_p (shard p's M-th largest count) — the theoretical
       worst-case undercount; the audit's invariant is
       max_underestimate ≤ total_cap.
+
+    Note the guarantee's shape: a key with f > total_cap is CERTAIN to
+    be reported with est > 0. The synthetic corpus's bigram counts are
+    deliberately flat (max ≈ 357 vs total_cap ≈ 445 at sf0.1), so no
+    key clears the certainty threshold and set recall at K is
+    data-dependent — the honest regime for a frequency sketch on
+    near-uniform data. The INVARIANTS (est ≤ exact, undercount ≤ cap)
+    are what the oracle certifies at every SF; on a Zipfian production
+    corpus the same plan reports the head exactly.
 
     Scale shape: the exact leg is one (token) count + top-K
     (TakeOrderedAndProject); the sketch leg reuses the sharded
