@@ -154,6 +154,7 @@ def full_registry() -> tuple[dict, dict]:
         relational37,
         relational38,
         relational39,
+        relational40,
         recommend,
     )
     from page_rank_mapreduce_java_spark.multimodal import audiofp as mm_audiofp
@@ -206,6 +207,7 @@ def full_registry() -> tuple[dict, dict]:
         relational37,
         relational38,
         relational39,
+        relational40,
         recommend,
         dedup_queries,
         sim_queries,
