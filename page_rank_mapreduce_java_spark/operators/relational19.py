@@ -445,24 +445,45 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     cent = kmeans_train(e, k=IVF_CENTROIDS, iters=KMEANS_ITERS)
-    dists = (
-        e.select("vec_id", "embedding")
-        .join(F.broadcast(cent), F.lit(True))
-        .select(
-            "vec_id",
-            "centroid_id",
-            (F.lit(1.0) - cosine(F.col("embedding"), F.col("cvec"))).alias(
-                "dist"
-            ),
-        )
+    # r12 optimization (guide §2.4): the former shape exploded the corpus
+    # to |corpus|×k rows through a broadcast join and re-grouped them by
+    # vec_id (min-struct + collect_list) — one full exchange of the
+    # exploded distance relation. With the centroids broadcast as ONE
+    # id-sorted array row, each vector computes its k distances, own
+    # cluster, and b in place: the scoring pass is fully narrow and the
+    # only exchange left is the final k-row aggregate. own/b selection
+    # expressions are unchanged (min struct(dist, centroid_id); min dist
+    # over centroid_id ≠ own).
+    from page_rank_mapreduce_java_spark.similarity.ann import (
+        _centroids_as_row,
     )
-    # own cluster = nearest centroid (min dist, centroid-id tiebreak) —
-    # the ivf_assign rule expressed as an aggregate instead of a window:
-    # one groupBy on vec_id (high-cardinality) replaces the per-vector
-    # row_number pass.
-    per_vec = dists.groupBy("vec_id").agg(
-        F.min(F.struct("dist", "centroid_id")).alias("own"),
-        F.collect_list(F.struct("centroid_id", "dist")).alias("all_d"),
+
+    per_vec = (
+        e.select("embedding")
+        .join(F.broadcast(_centroids_as_row(cent)), F.lit(True))
+        .select(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    c["centroid_id"].alias("centroid_id"),
+                    (
+                        F.lit(1.0) - cosine(F.col("embedding"), c["cvec"])
+                    ).alias("dist"),
+                ),
+            ).alias("all_d")
+        )
+        .select(
+            F.array_min(
+                F.transform(
+                    F.col("all_d"),
+                    lambda x: F.struct(
+                        x["dist"].alias("dist"),
+                        x["centroid_id"].alias("centroid_id"),
+                    ),
+                )
+            ).alias("own"),
+            F.col("all_d"),
+        )
     )
     s = per_vec.select(
         F.col("own.centroid_id").alias("centroid_id"),

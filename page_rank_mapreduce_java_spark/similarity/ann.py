@@ -104,6 +104,20 @@ def lsh_buckets(
     )
 
 
+def _centroids_as_row(centroids: DataFrame) -> DataFrame:
+    """The centroid set collapsed to ONE broadcastable row: the id-sorted
+    array of (centroid_id, cvec) structs. Joining this single row to the
+    corpus lets nearest-centroid assignment run as a per-row array
+    expression — no |corpus|×k explode feeding a per-vector window or
+    aggregate exchange (guide §2.4: the assignment stage becomes fully
+    narrow; the only data movement left is the 1-row broadcast)."""
+    return centroids.agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "cvec"))).alias(
+            "_cents"
+        )
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -111,9 +125,17 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, centroid-id
-    tiebreak). Centroids broadcast; assignment is one narrow pass over the
-    corpus — the IVF build step. At 100 TB the centroid set comes from a
-    k-means sample; here it is any small DataFrame[centroid_id, cvec]."""
+    tiebreak). Centroids broadcast as one array row; assignment is one
+    narrow pass over the corpus — the IVF build step. At 100 TB the
+    centroid set comes from a k-means sample; here it is any small
+    DataFrame[centroid_id, cvec].
+
+    r12 note: an array-argmin form (broadcast the centroid set as one
+    array row, per-row argmin — zero exchanges) was A/B'd here and did
+    NOT win: consumer-level interleaved medians read ann_ivf_topk 4.83 s
+    (array) vs 4.33 s (window) at sf0.1 — the exploded window's exchange
+    is narrow (id, centroid_id, score) while the nested-lambda argmin
+    projection runs interpreted. The certified window shape stays."""
     scored = corpus.select(id_col, vec_col).join(
         F.broadcast(centroids), F.lit(True)
     )
@@ -160,6 +182,14 @@ def kmeans_train(
     )
     corp = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     for _ in range(iters):
+        # r12 note: the array-argmin assignment (see ivf_assign) was
+        # A/B'd HERE and LOST (3.6 s vs 2.6 s for the window+persist
+        # form at sf0.1, interleaved in one session): inside the train
+        # loop the argmin higher-order expression feeds the posexplode
+        # E-step directly and the interpreted nested-lambda projection
+        # costs more than the window exchange it saves. The window form
+        # stays (guide §1.1: empirical loop beats the first-principles
+        # ideal when measurement disagrees).
         w = Window.partitionBy("vid").orderBy(
             F.desc(cosine(F.col("v"), F.col("cvec"))), F.asc("centroid_id")
         )
@@ -184,10 +214,17 @@ def kmeans_train(
                 ).alias("mvec")
             )
         )
-        c = (
-            c.join(means, "centroid_id", "left")
-            .select("centroid_id", F.coalesce("mvec", "cvec").alias("cvec"))
+        c = c.join(means, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("mvec", "cvec").alias("cvec")
         )
+        # r12 A/B note: a k-row persist per Lloyd round (cut the chain
+        # replay the recall sweep's executed plan shows — 153 exchanges,
+        # 16 reused) was measured interleaved across five consumers at
+        # sf0.1 and did NOT win: ~5% better on single-train consumers,
+        # clearly WORSE on ann_ivfpq_topk's five trains (quiet reps
+        # 8.7/10.8 s vs 7.3/9.1 s) — the replayed subtrees are tiny JVM
+        # jobs while each persist adds a materialization sync point.
+        # Ties go to no-persist (PERF.md r4 lesson).
     return c
 
 

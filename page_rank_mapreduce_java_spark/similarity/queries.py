@@ -824,6 +824,14 @@ def q_ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    # r12 A/B note (guide §1.1 empirical loop): persisting brute and a
+    # score-precomputed, query-keyed candidate relation — the "cut the
+    # 153-exchange replay" first-principles fix — was measured
+    # interleaved at sf0.1 and LOST (quiet medians: both-persist ~6.6 s
+    # and brute-only ~7.1 s vs ~6.2-6.5 s as-is): the replayed subtrees
+    # are tiny JVM jobs (the costly k-means chain is now persisted
+    # inside kmeans_train) while cache materialization serializes the
+    # first pass — the PERF.md r4 lesson extended to this site.
     brute = brute_force_topk(e, q, k=TOP_K).select("query_id", "neighbor_id")
     cent = kmeans_train(e, k=IVF_CENTROIDS, iters=KMEANS_ITERS)
     assign = ivf_assign(e, cent)

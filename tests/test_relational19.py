@@ -169,3 +169,62 @@ def test_lsh_recall_nested_buckets(spark, sf_dir):
     for r in ordered:
         assert 0 <= r.recall_ppm <= 1_000_000
         assert r.base > 0
+
+
+def test_silhouette_matches_python_recompute(spark, sf_dir):
+    """Focused pin on the r12 in-place array scoring rewrite: the
+    per-vector own-cluster/a/b selection (argmin (dist, centroid_id);
+    b = min dist over other centroids) recomputed independently in pure
+    Python with the same sequential-fold cosine must reproduce every
+    cluster's n_members exactly and its mean silhouette to ±1 ppm
+    (the ±1 allows only double→ppm rounding-mode slack, not a wrong
+    selection — any own/b mix-up shifts cluster means by thousands)."""
+    import math
+
+    from page_rank_mapreduce_java_spark.similarity.ann import kmeans_train
+    from page_rank_mapreduce_java_spark.similarity.queries import (
+        IVF_CENTROIDS,
+        KMEANS_ITERS,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = {
+        r.centroid_id: list(r.cvec)
+        for r in kmeans_train(
+            e, k=IVF_CENTROIDS, iters=KMEANS_ITERS
+        ).collect()
+    }
+
+    def cos(a, b):  # sequential left-to-right folds, like F.aggregate
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    agg: dict[int, list] = {}
+    for row in e.select("embedding").collect():
+        d = sorted(
+            (1.0 - cos(row.embedding, cv), cid) for cid, cv in cent.items()
+        )
+        (a, own), b = d[0], d[1][0]
+        s = round((b - a) / max(a, b) * 1e6) if max(a, b) > 0 else 0
+        n, t = agg.get(own, (0, 0))
+        agg[own] = (n + 1, t + s)
+
+    got = {
+        r.centroid_id: (r.n_members, r.mean_silhouette_ppm)
+        for r in __import__(
+            "page_rank_mapreduce_java_spark.operators.relational19",
+            fromlist=["q_embedding_silhouette"],
+        ).q_embedding_silhouette(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for cid, (n, t) in agg.items():
+        assert got[cid][0] == n, f"cluster {cid} n_members"
+        assert abs(got[cid][1] - round(t / n)) <= 1, f"cluster {cid} mean"
