@@ -100,22 +100,48 @@ def item_item_topk(
     pair_bound = sum_sq_group_bound(
         inter, ["user_id"], cache_key=bound_key
     )
+    # r12 optimization (guide §2.3 shuffle fewer bytes): the pair
+    # generator used to emit BOTH directions of every co-interaction
+    # (item_id != neighbor_id) because the top-k ranks a neighbor list
+    # per item — but dot(i,j) is symmetric, so the ordered stream is
+    # halved at the source (item_id < neighbor_id) and each support-
+    # filtered aggregate row is mirrored by a 2-element explode in the
+    # SAME branch (a union of two projections over the aggregate was
+    # A/B'd and lost — it re-runs the aggregate per branch): half the
+    # rows through the volume-sized pair exchange, half the aggregate
+    # groups. Result set identical by dot symmetry (A/B'd row-for-row
+    # at sf0.1); the halved stream's volume bound is ceil(Σsz²/2).
+    # Local walls tie within host noise; the win is the exchange bytes.
     a, b = inter.alias("a"), inter.alias("b")
-    dots = (
+    half = (
         a.join(b, "user_id")
-        .filter(F.col("a.item_id") != F.col("b.item_id"))
+        .filter(F.col("a.item_id") < F.col("b.item_id"))
         .select(
             F.col("a.item_id").alias("item_id"),
             F.col("b.item_id").alias("neighbor_id"),
             (F.col("a.c") * F.col("b.c")).alias("cc"),
         )
     )
-    dots = (
-        volume_repartition_pairs(dots, ["item_id", "neighbor_id"], pair_bound)
+    half = (
+        volume_repartition_pairs(
+            half, ["item_id", "neighbor_id"], (pair_bound + 1) // 2
+        )
         .groupBy("item_id", "neighbor_id")
         .agg(F.sum("cc").alias("dot"))
         .filter(F.col("dot") >= REC_MIN_SUPPORT)
     )
+    dots = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("item_id"), F.col("neighbor_id"), F.col("dot")),
+                F.struct(
+                    F.col("neighbor_id").alias("item_id"),
+                    F.col("item_id").alias("neighbor_id"),
+                    F.col("dot"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.item_id", "p.neighbor_id", "p.dot")
     scored = (
         dots.join(norms.withColumnRenamed("item_id", "item_id").alias("na"), "item_id")
         .join(
