@@ -44,6 +44,27 @@ from pyspark.sql import functions as F
 from page_rank_mapreduce_java_spark.plans.checkpoints import cut_lineage
 
 
+def _key_partitioned_edges(sym: DataFrame) -> DataFrame:
+    """Shuffle the symmetric edge relation ONCE onto the superstep join
+    key and persist it (r12; the pagerank/connected-components recipe —
+    graph/algorithms.py). The chassis used to persist ``sym`` with
+    whatever partitioning the upstream distinct left (hash on
+    (src, dst)), so EVERY forward and backward superstep re-exchanged
+    the edge relation (guide §2.4: the per-iteration shuffle the
+    persisted-links design exists to remove). Partition count is
+    data-sized (~75k edge rows per partition, capped at the session's
+    shuffle parallelism) so small graphs don't pay near-empty tasks
+    per superstep."""
+    spark = sym.sparkSession
+    raw = sym.select("src", "dst").persist()
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(cap, -(-raw.count() // 75_000)))
+    keyed = raw.repartition(parts, "src").persist()
+    keyed.count()
+    raw.unpersist()
+    return keyed
+
+
 def stress_centrality_sampled(
     sym: DataFrame, sources: DataFrame, max_depth: int = 4
 ) -> DataFrame:
@@ -54,7 +75,7 @@ def stress_centrality_sampled(
     ``sources``: DataFrame[src]. Returns DataFrame[id, stress] covering
     every node of ``sym`` (0 where never interior).
     """
-    sym = sym.select("src", "dst").persist()
+    sym = _key_partitioned_edges(sym)
 
     lvl0 = cut_lineage(
         sources.select(
@@ -64,7 +85,12 @@ def stress_centrality_sampled(
         )
     )
     levels = [lvl0]
-    visited = cut_lineage(lvl0.select("s", "id"))
+    # r12: ``visited`` is only ever a union of ALREADY-checkpointed level
+    # relations, so its per-level cut_lineage was one pure-overhead eager
+    # job per level (the union lineage is depth-bounded by max_depth and
+    # recomputation-free — each leg scans a checkpoint). Dropping it
+    # removes max_depth+1 jobs per invocation; results are unchanged.
+    visited = lvl0.select("s", "id")
     for _ in range(max_depth):
         prev = levels[-1]
         cand = (
@@ -75,7 +101,7 @@ def stress_centrality_sampled(
         )
         nxt = cut_lineage(cand.join(visited, ["s", "id"], "left_anti"))
         levels.append(nxt)
-        visited = cut_lineage(visited.unionByName(nxt.select("s", "id")))
+        visited = visited.unionByName(nxt.select("s", "id"))
 
     # backward accumulation of continuation counts g
     deepest = levels[max_depth]
@@ -172,7 +198,7 @@ def betweenness_sampled(
     frontier⋈edges join + one (s, id) grouped sum each way; state is
     frontier-sized × |sources|, never edge-sized.
     """
-    sym = sym.select("src", "dst").persist()
+    sym = _key_partitioned_edges(sym)
 
     lvl0 = cut_lineage(
         sources.select(
@@ -182,7 +208,12 @@ def betweenness_sampled(
         )
     )
     levels = [lvl0]
-    visited = cut_lineage(lvl0.select("s", "id"))
+    # r12: ``visited`` is only ever a union of ALREADY-checkpointed level
+    # relations, so its per-level cut_lineage was one pure-overhead eager
+    # job per level (the union lineage is depth-bounded by max_depth and
+    # recomputation-free — each leg scans a checkpoint). Dropping it
+    # removes max_depth+1 jobs per invocation; results are unchanged.
+    visited = lvl0.select("s", "id")
     for _ in range(max_depth):
         prev = levels[-1]
         cand = (
@@ -193,7 +224,7 @@ def betweenness_sampled(
         )
         nxt = cut_lineage(cand.join(visited, ["s", "id"], "left_anti"))
         levels.append(nxt)
-        visited = cut_lineage(visited.unionByName(nxt.select("s", "id")))
+        visited = visited.unionByName(nxt.select("s", "id"))
 
     # backward accumulation of fixed-point dependencies δ_fp
     deepest = levels[max_depth]
@@ -274,7 +305,7 @@ def labeled_bfs_levels(
     The edge cache is released before returning (result materialized
     via localCheckpoint first).
     """
-    sym = sym.select("src", "dst").persist()
+    sym = _key_partitioned_edges(sym)
     try:
         lvl = cut_lineage(
             sources.select(
@@ -284,7 +315,9 @@ def labeled_bfs_levels(
             )
         )
         out = lvl
-        visited = cut_lineage(lvl.select("s", "id"))
+        # r12: same visited-checkpoint removal as the stress/betweenness
+        # loops above — the union of checkpointed levels needs no cut.
+        visited = lvl.select("s", "id")
         for depth in range(1, max_depth + 1):
             cand = (
                 lvl.join(sym, lvl.id == sym.src)
@@ -297,7 +330,7 @@ def labeled_bfs_levels(
                 )
             )
             out = out.unionByName(nxt)
-            visited = cut_lineage(visited.unionByName(nxt.select("s", "id")))
+            visited = visited.unionByName(nxt.select("s", "id"))
             lvl = nxt
         return cut_lineage(out)
     finally:
