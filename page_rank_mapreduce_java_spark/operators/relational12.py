@@ -564,6 +564,14 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = (
         load_table(spark, "lineitem", sf_dir)
         .select("l_orderkey", "l_partkey")
+        # r12 (guide §2.4 share one exchange): keying the distinct's
+        # exchange on l_orderkey alone (a subset of the grouping key
+        # satisfies the aggregate's distribution) leaves items hash-
+        # partitioned on the basket key, so the keep aggregate, the
+        # keep join AND both self-join sides all reuse this single
+        # exchange instead of re-shuffling. Interleaved A/B at sf0.1:
+        # 1.35 s vs 2.20 s quiet medians, identical results.
+        .repartition("l_orderkey")
         .distinct()
     )
     keep = (
