@@ -848,9 +848,16 @@ def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No persist: the shingle relation's three readers share one
     # ReusedExchange; caching it measured ~20% slower steady-state with
     # a 4× cold-run spike at sf0.1 (PERF.md persist lesson).
+    # r12 (guide §2.4): the distinct's exchange is keyed on doc_id alone
+    # (a subset of the grouping key satisfies the aggregate), so the
+    # sizes aggregate and the doc_a-keyed intersection join reuse this
+    # one exchange instead of re-shuffling the shingle relation.
+    # Interleaved A/B at sf0.1: 2.96 s vs 3.42 s quiet medians,
+    # identical results.
     sh = (
         d.select("doc_id", words(F.col("text")).alias("w"))
         .select("doc_id", F.explode(word_shingles("w")).alias("s"))
+        .repartition("doc_id")
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
