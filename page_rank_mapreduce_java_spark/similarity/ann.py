@@ -125,10 +125,10 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, centroid-id
-    tiebreak). Centroids broadcast as one array row; assignment is one
-    narrow pass over the corpus — the IVF build step. At 100 TB the
-    centroid set comes from a k-means sample; here it is any small
-    DataFrame[centroid_id, cvec].
+    tiebreak). Centroids broadcast; assignment is one corpus scan plus a
+    per-vector top-1 window over the k candidates — the IVF build step.
+    At 100 TB the centroid set comes from a k-means sample; here it is
+    any small DataFrame[centroid_id, cvec].
 
     r12 note: an array-argmin form (broadcast the centroid set as one
     array row, per-row argmin — zero exchanges) was A/B'd here and did

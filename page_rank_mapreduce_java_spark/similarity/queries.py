@@ -808,16 +808,27 @@ def q_ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep). One row per probe count: (n_probe, hits, base, recall_ppm).
 
     The quantizer trains ONCE (shared centroids + cell assignment);
-    each probe level re-ranks the SAME candidate relation filtered to
-    probe rank ≤ n_probe — 4 windows over a candidate set bounded by
-    |queries| × corpus/cells × probes, never 4 retrainings.
+    candidates are scored ONCE at the maximum probe level and each
+    candidate is replicated to every swept level ≥ its probe rank
+    (prn ≤ 1 ⊂ prn ≤ 2 ⊂ ... — the levels are nested filters of one
+    relation), so a SINGLE (n_probe, query_id) top-k window ranks all
+    four levels in one pass. r13 rewrite (guide §2.4/§1.2 — the
+    distributed algorithm first): the r12 executed plan replayed the
+    kmeans→assign→score chain once per probe level and per consumer
+    branch — 153 exchanges, 16 reused; the level-replicated form
+    evaluates that chain once.
+
+    Equivalence: the exploded relation restricted to n_probe = p is
+    exactly cand.filter(prn <= p), ranked by the same (cosine DESC,
+    neighbor_id ASC) order, so per-level top-k sets are unchanged; a
+    level whose top-k intersects nothing of the brute baseline still
+    emits its row via the literal level spine (hits = 0).
 
     Scale shape: training/assignment is the certified ann_ivf_topk
     chassis (broadcast centroids, one narrow corpus pass); the brute
-    baseline broadcasts 8 query vectors; the sweep relations are
-    1-row aggregates unioned."""
-    from functools import reduce
-
+    baseline broadcasts 8 query vectors; the level replication is a
+    ≤|RECALL_PROBES|-element explode of candidate KEYS (never vectors)
+    and the sweep is one grouped count joined to a 4-row spine."""
     from pyspark.sql.window import Window
 
     from page_rank_mapreduce_java_spark.similarity.ann import ivf_assign
@@ -825,13 +836,13 @@ def q_ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     # r12 A/B note (guide §1.1 empirical loop): persisting brute and a
-    # score-precomputed, query-keyed candidate relation — the "cut the
-    # 153-exchange replay" first-principles fix — was measured
+    # score-precomputed, query-keyed candidate relation was measured
     # interleaved at sf0.1 and LOST (quiet medians: both-persist ~6.6 s
-    # and brute-only ~7.1 s vs ~6.2-6.5 s as-is): the replayed subtrees
-    # are tiny JVM jobs (the costly k-means chain is now persisted
-    # inside kmeans_train) while cache materialization serializes the
-    # first pass — the PERF.md r4 lesson extended to this site.
+    # and brute-only ~7.1 s vs ~6.2-6.5 s as-is): kmeans_train remains
+    # persist-free and its replayed subtrees are tiny JVM jobs, while
+    # cache materialization serializes the first pass — the PERF.md r4
+    # lesson extended to this site. The r13 fix above removes the
+    # replay ALGEBRAICALLY (one consumer branch) instead of caching it.
     brute = brute_force_topk(e, q, k=TOP_K).select("query_id", "neighbor_id")
     cent = kmeans_train(e, k=IVF_CENTROIDS, iters=KMEANS_ITERS)
     assign = ivf_assign(e, cent)
@@ -851,23 +862,38 @@ def q_ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(members, "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    parts = []
-    for np_ in RECALL_PROBES:
-        wr = Window.partitionBy("query_id").orderBy(
-            F.desc(cosine(F.col("qvec"), F.col("nvec"))), F.asc("neighbor_id")
-        )
-        top = (
-            cand.filter(F.col("prn") <= np_)
-            .withColumn("rn", F.row_number().over(wr))
-            .filter(F.col("rn") <= TOP_K)
-            .select("query_id", "neighbor_id")
-        )
-        parts.append(
-            top.join(brute, ["query_id", "neighbor_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("hits"))
-            .select(F.lit(np_).cast("long").alias("n_probe"), "hits")
-        )
-    sweep = reduce(lambda x, y: x.unionByName(y), parts)
+    # Replicate each scored candidate to the levels it participates in:
+    # prn in (0,1] -> {1,2,4,8}, (1,2] -> {2,4,8}, ... — a plain CASE
+    # over literal arrays (codegen-friendly; no lambda HOF).
+    level_arrays = " ".join(
+        f"WHEN prn <= {p} THEN array({', '.join(str(l) + 'L' for l in RECALL_PROBES if l >= p)})"
+        for p in RECALL_PROBES
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("nvec")).alias("score"),
+        F.explode(F.expr(f"CASE {level_arrays} END")).alias("n_probe"),
+    )
+    wr = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    hits = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("n_probe", "query_id", "neighbor_id")
+        .join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in RECALL_PROBES])
+        ).alias("n_probe")
+    )
+    sweep = spine.join(F.broadcast(hits), "n_probe", "left").select(
+        "n_probe", F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("hits")
+    )
     base = brute.agg(F.count(F.lit(1)).alias("base"))
     return sweep.crossJoin(F.broadcast(base)).select(
         "n_probe",

@@ -56,3 +56,86 @@ def test_kmeans_training_moves_centroids(spark, sf_dir):
     assert set(trained) == set(seed)
     assert any(trained[c] != seed[c] for c in trained)
     assert all(all(abs(x) < 1e6 for x in v) for v in trained.values())
+
+
+def test_recall_sweep_matches_per_level_recompute(spark, sf_dir):
+    """Focused pin on the r13 fused-levels rewrite of
+    q_ann_ivf_recall_sweep: the single (n_probe, query_id) window over
+    level-replicated candidates must reproduce, for every probe level,
+    exactly the (hits, base, recall_ppm) of the r12 shape — an
+    independent per-level filter + per-query window + semi-join, built
+    here literally."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from page_rank_mapreduce_java_spark.functions.vectors import cosine
+    from page_rank_mapreduce_java_spark.similarity.ann import (
+        ivf_assign,
+        kmeans_train,
+    )
+    from page_rank_mapreduce_java_spark.similarity.queries import (
+        IVF_CENTROIDS,
+        KMEANS_ITERS,
+        N_QUERY_VECS,
+        RECALL_PROBES,
+        TOP_K,
+        q_ann_ivf_recall_sweep,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    brute = brute_force_topk(e, q, k=TOP_K).select("query_id", "neighbor_id")
+    cent = kmeans_train(e, k=IVF_CENTROIDS, iters=KMEANS_ITERS)
+    assign = ivf_assign(e, cent)
+    qv = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qvec"), F.col("cvec"))), F.asc("centroid_id")
+    )
+    probes = (
+        qv.join(F.broadcast(cent), F.lit(True))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= max(RECALL_PROBES))
+        .select("query_id", "qvec", "centroid_id", "prn")
+    )
+    members = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec")
+    ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    cand = probes.join(members, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    parts = []
+    for np_ in RECALL_PROBES:  # the r12 per-level replay, verbatim
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc(cosine(F.col("qvec"), F.col("nvec"))), F.asc("neighbor_id")
+        )
+        top = (
+            cand.filter(F.col("prn") <= np_)
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        parts.append(
+            top.join(brute, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(np_).cast("long").alias("n_probe"), "hits")
+        )
+    expected = {
+        r.n_probe: r.hits
+        for r in reduce(lambda x, y: x.unionByName(y), parts).collect()
+    }
+    base = brute.count()
+    got = {
+        r.n_probe: r for r in q_ann_ivf_recall_sweep(spark, sf_dir).collect()
+    }
+    assert set(got) == set(RECALL_PROBES)
+    prev_hits = -1
+    for np_ in RECALL_PROBES:
+        row = got[np_]
+        assert row.hits == expected[np_], f"n_probe={np_}"
+        assert row.base == base
+        assert row.recall_ppm == row.hits * 1_000_000 // base
+        assert row.hits >= prev_hits  # levels are nested: monotone
+        prev_hits = row.hits

@@ -180,6 +180,7 @@ def test_silhouette_matches_python_recompute(spark, sf_dir):
     (the ±1 allows only double→ppm rounding-mode slack, not a wrong
     selection — any own/b mix-up shifts cluster means by thousands)."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     from page_rank_mapreduce_java_spark.similarity.ann import kmeans_train
     from page_rank_mapreduce_java_spark.similarity.queries import (
@@ -207,13 +208,19 @@ def test_silhouette_matches_python_recompute(spark, sf_dir):
             nb += float(y) * float(y)
         return dot / (math.sqrt(na) * math.sqrt(nb))
 
+    def round_half_up(x: float) -> int:
+        # Spark's F.round is HALF_UP; Python round() is banker's. A
+        # per-vector s landing on an exact half would otherwise diverge
+        # by 1 and accumulate in the cluster sum (ADVICE r12).
+        return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
     agg: dict[int, list] = {}
     for row in e.select("embedding").collect():
         d = sorted(
             (1.0 - cos(row.embedding, cv), cid) for cid, cv in cent.items()
         )
         (a, own), b = d[0], d[1][0]
-        s = round((b - a) / max(a, b) * 1e6) if max(a, b) > 0 else 0
+        s = round_half_up((b - a) / max(a, b) * 1e6) if max(a, b) > 0 else 0
         n, t = agg.get(own, (0, 0))
         agg[own] = (n + 1, t + s)
 
