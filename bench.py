@@ -201,6 +201,24 @@ HEADLINE = [
 # "value" or the vs_prev gate.
 SLICE_SIZE = 20
 
+# 10× scale block (VERDICT r12 next #6): the sf0.1 suite is scheduler-
+# bound, so the driver's 8-vs-32-core scaling probe reads ≈1 everywhere
+# and carries no parallelism evidence. Each bench run additionally times
+# a handful of heavy-chassis queries ONCE against a 10× disjoint-copies
+# replica of the target sf dir (tools/make_scale_dir.py — deterministic,
+# built under /tmp on first use, reused by the driver's second, low-core
+# invocation), reported under the separate "scale10x" JSON key so the
+# headline "value"/vs_prev contract is untouched. At 10× volume the
+# heavy chassis are compute-bound and the two core counts separate:
+# the low-core/high-core ratio of scale10x walls IS the parallelism
+# evidence the sf0.1 rows cannot give. Disable: SPARK_GRAFT_BENCH_SCALE10X=0.
+SCALE10X_QUERIES = [
+    "graph_pagerank",
+    "graph_connected_components",
+    "rec_item_item_topk",
+    "graph_betweenness_sampled",
+]
+
 # Queries whose first run triggers a one-time on-disk index build under
 # /tmp (similarity/queries._serve_index_dir). The build is forced once,
 # untimed, before the timed rounds — otherwise the first sample's median
@@ -224,6 +242,35 @@ GROUP_SIZE = 8
 # signature seen in every adjudicated bus-noise flag.
 QUIET_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL_PCT", "2.0"))
 QUIET_BW_SEC = float(os.environ.get("SPARK_GRAFT_QUIET_BW_SEC", "0.12"))
+
+
+def _seal_stdout() -> int:
+    """Route fd 1 to stderr for this process AND every child (the local
+    Spark JVM inherits fd 1 at launch), returning a dup of the ORIGINAL
+    stdout for the final JSON line. VERDICT r12 "what's wrong" #1: the
+    r11 graded row printed rc 0 but `parsed: null` — the one-line JSON
+    was corrupted in flight, and the JVM sharing fd 1 is the only writer
+    that can interleave mid-line (pipe writes above PIPE_BUF are not
+    atomic). After this, NOTHING in the process can touch the real
+    stdout except _emit_json_line."""
+    real = os.dup(1)
+    os.set_inheritable(real, False)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+    return real
+
+
+def _emit_json_line(fd: int, obj: dict) -> None:
+    """Write obj as exactly one newline-terminated JSON line to fd,
+    round-tripping it through json.loads first so an unserializable or
+    self-truncating payload fails HERE (visible, in-round) instead of
+    blinding the driver's next comparison."""
+    line = json.dumps(obj)
+    json.loads(line)  # round-trip guard: never emit an unparseable line
+    data = (line + "\n").encode()
+    while data:
+        n = os.write(fd, data)
+        data = data[n:]
 
 
 def _cpu_counters() -> list[int] | None:
@@ -357,6 +404,10 @@ def _wait_for_quiet_row(
 
 
 def main() -> None:
+    # Seal stdout FIRST — before the Spark JVM (which inherits fd 1) can
+    # exist. Everything below that prints goes to stderr; the graded JSON
+    # line is the only byte ever written to the real stdout.
+    real_stdout = _seal_stdout()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -566,6 +617,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # cpus recorded so vs_prev never again adjudicates a 32-core row
+        # against the driver's 8-core scaling run (r13: the mid-round
+        # row compared against BENCH_r12's c8 history row — every flag
+        # was a cross-core-count artifact).
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
         "runs": runs,
         "spread": spread,
         "calib_sec": calib_sec,
@@ -628,6 +684,105 @@ def main() -> None:
             out["slice_rotation"] = rotation
             out["slice_calib_sec"] = slice_calib
 
+    # 10× scale block (see SCALE10X_QUERIES above). One warm pass pays
+    # the per-(app, dir) one-time builds — the same steady-state
+    # convention as the headline suite — then one timed noop-sink rep
+    # per query (single-rep is enough: the signal is the multi-×
+    # low-core/high-core ratio, not a 10% delta; steal/bw probes are
+    # recorded for adjudication). _RANKS_CACHE is cleared before the
+    # timed pagerank rep exactly like the headline rounds.
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE10X", "1") != "0":
+        import subprocess
+
+        here10 = os.path.dirname(os.path.abspath(__file__))
+        scale_dir = os.environ.get(
+            "SPARK_GRAFT_SCALE_DIR", "/tmp/sf1_scale_bench"
+        )
+        sentinel = os.path.join(scale_dir, "_SCALE_OK")
+        build_sec = None
+        built_from = None
+        if os.path.exists(sentinel):
+            try:
+                built_from = open(sentinel).read().strip()
+            except OSError:
+                built_from = None
+        if built_from != sf_dir:
+            t0 = time.time()
+            try:
+                rc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(here10, "tools", "make_scale_dir.py"),
+                        sf_dir,
+                        scale_dir,
+                        "10",
+                    ],
+                    stdout=sys.stderr,
+                    stderr=sys.stderr,
+                    timeout=1800,
+                ).returncode
+            except (OSError, subprocess.SubprocessError) as e:
+                rc = -1
+                print(f"bench: scale10x build error: {e}", file=sys.stderr)
+            if rc == 0:
+                with open(sentinel, "w") as f:
+                    f.write(sf_dir + "\n")
+                built_from = sf_dir
+                build_sec = round(time.time() - t0, 1)
+            else:
+                print(
+                    "bench: scale10x replica build failed; block skipped",
+                    file=sys.stderr,
+                )
+        if built_from == sf_dir:
+            from page_rank_mapreduce_java_spark.graph.queries import (
+                _RANKS_CACHE as _rc10,
+            )
+
+            for name in SCALE10X_QUERIES:  # warm: one-time builds
+                try:
+                    spark.sparkContext.setJobDescription(f"scale10x-warm:{name}")
+                    qs[name](spark, scale_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        f"bench: scale10x warm failed for {name}: {e}",
+                        file=sys.stderr,
+                    )
+                spark.catalog.clearCache()
+            s10_bw = _bandwidth_probe()
+            s10_cpu0 = _cpu_counters()
+            s10: dict[str, float] = {}
+            for name in SCALE10X_QUERIES:
+                _rc10.clear()
+                t0 = time.time()
+                try:
+                    spark.sparkContext.setJobDescription(f"scale10x:{name}")
+                    qs[name](spark, scale_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    s10[name] = round(time.time() - t0, 3)
+                except Exception as e:  # noqa: BLE001
+                    s10[name] = -1.0
+                    print(
+                        f"bench: scale10x query {name} failed: {e}",
+                        file=sys.stderr,
+                    )
+                spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(None)
+            s10_steal = _steal_pct(s10_cpu0, _cpu_counters())
+            out["scale10x"] = {
+                "dir": scale_dir,
+                "factor": 10,
+                "base_sf": sf,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "queries": s10,
+                "bw_probe_sec": s10_bw,
+                **({"steal_pct": s10_steal} if s10_steal is not None else {}),
+                **({"build_sec": build_sec} if build_sec is not None else {}),
+            }
+
     # Regression gate (VERDICT r3 next #7): compare per-query medians to
     # the previous recorded run at the SAME scale factor and surface >25%
     # regressions loudly — a regression should fail in-round, not wait
@@ -643,17 +798,35 @@ def main() -> None:
     hist_path = os.path.join(here, "bench_history.jsonl")
     prev_q, prev_label, prev_calib, prev_gc = {}, None, None, {}
     prev_bw: dict = {}
+    cur_cpus = out["cpus"]
+    # Baseline = the LATEST history row at this sf whose recorded core
+    # count matches this run's; rows predating the cpus field (≤ r12)
+    # are used only when no cpus-matched row exists (they mix the
+    # driver's 8-core scaling runs into the comparison — the r13
+    # mid-round false-flag source).
+    fallback = None
     try:
         with open(hist_path) as f:
             for line in f:
                 rec = json.loads(line)
                 if rec.get("sf") == sf and rec.get("queries"):
-                    prev_q, prev_label = rec["queries"], "bench_history.jsonl"
-                    prev_calib = rec.get("calib_sec")
-                    prev_gc = rec.get("group_calib") or {}
-                    prev_bw = rec.get("group_bw") or {}
+                    if rec.get("cpus") == cur_cpus:
+                        prev_q, prev_label = (
+                            rec["queries"],
+                            "bench_history.jsonl",
+                        )
+                        prev_calib = rec.get("calib_sec")
+                        prev_gc = rec.get("group_calib") or {}
+                        prev_bw = rec.get("group_bw") or {}
+                    elif rec.get("cpus") is None:
+                        fallback = rec
     except (OSError, json.JSONDecodeError):
         pass
+    if not prev_q and fallback is not None:
+        prev_q, prev_label = fallback["queries"], "bench_history.jsonl"
+        prev_calib = fallback.get("calib_sec")
+        prev_gc = fallback.get("group_calib") or {}
+        prev_bw = fallback.get("group_bw") or {}
     if not prev_q:
         for p in sorted(
             glob.glob(os.path.join(here, "BENCH_r*.json")),
@@ -742,7 +915,7 @@ def main() -> None:
             f.write(json.dumps(out) + "\n")
     except OSError as e:
         print(f"bench: could not append history: {e}", file=sys.stderr)
-    print(json.dumps(out))
+    _emit_json_line(real_stdout, out)
 
 
 if __name__ == "__main__":

@@ -1174,7 +1174,10 @@ def q_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = derived_edges(spark, sf_dir)
     sources = edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
     return stress_centrality_sampled(
-        _symmetrize(edges), sources, max_depth=STRESS_DEPTH
+        _symmetrize(edges),
+        sources,
+        max_depth=STRESS_DEPTH,
+        cache_key=f"interact:{sf_dir}",
     )
 
 
@@ -1204,6 +1207,7 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         sources,
         max_depth=STRESS_DEPTH,
         scale=BETWEENNESS_SCALE,
+        cache_key=f"interact:{sf_dir}",
     )
 
 
@@ -1428,7 +1432,10 @@ def _corpus_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.filter(F.col("src") <= BFS_SOURCE_MAX).select("src").distinct()
         )
         _LEVELS_CACHE[key] = labeled_bfs_levels(
-            _symmetrize(edges), sources, max_depth=BFS_HOPS
+            _symmetrize(edges),
+            sources,
+            max_depth=BFS_HOPS,
+            cache_key=f"interact:{sf_dir}",
         )
     return _LEVELS_CACHE[key]
 

@@ -52,7 +52,16 @@ REC_MIN_SUPPORT = 2
 
 
 def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """c(u, i): DataFrame[user_id, item_id, c] from orders ⋈ lineitem."""
+    """c(u, i): DataFrame[user_id, item_id, c] from orders ⋈ lineitem.
+
+    r13 (guide §2.4 — two operations keyed the same way share one
+    exchange; the basket-chassis subset-key pattern, re-A/B'd in a
+    quiet window after the r12 attempt drowned in ambient noise): the
+    aggregate's exchange is keyed on user_id ALONE — a subset of the
+    grouping key satisfies the aggregate's required distribution — so
+    the downstream Σ basket² self-join on user_id (item_item_topk) and
+    the user-keyed pair-bound aggregate (sum_sq_group_bound) reuse THIS
+    exchange instead of re-shuffling the interactions relation."""
     o = load_table(spark, "orders", sf_dir).select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("user_id")
     )
@@ -61,6 +70,7 @@ def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, "ok")
+        .repartition("user_id")
         .groupBy("user_id", "item_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )

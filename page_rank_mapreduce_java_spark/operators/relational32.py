@@ -29,7 +29,6 @@ from page_rank_mapreduce_java_spark.graph.queries import (
 from page_rank_mapreduce_java_spark.operators.relational25 import (
     KATZ_ITERS,
     _katz_sql,
-    q_graph_katz_centrality,
 )
 
 
@@ -156,35 +155,74 @@ def q_graph_centrality_rank_agreement(
     (value, id) total orders, 2·avg-rank tie collapse, DECIMAL/HUGEINT
     sufficient statistics, identical correctly-rounded terminal).
     """
+    from page_rank_mapreduce_java_spark.graph.centrality import (
+        _key_partitioned_edges,
+    )
+    from page_rank_mapreduce_java_spark.operators.relational25 import (
+        _katz_from_sym,
+    )
+
+    # r13 (guide §2.4): ONE persisted, src-keyed edge relation feeds
+    # both iterative chains. The r12 shape built the co-occurrence
+    # self-join twice (once for pagerank's setup, once inside the Katz
+    # query) and Katz's unpersisted sym re-ran that subtree in every
+    # one of its six supersteps.
     e = cooccurrence_edges(spark, sf_dir)
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = _key_partitioned_edges(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        cache_key=f"cooc:{sf_dir}",
     )
     pr = (
         pagerank(sym, num_iterations=AGREE_PR_ITERS, damping=AGREE_DAMPING)
         .ranks.withColumn("pr_e8", F.round(F.col("rank") * 1e8).cast("long"))
         .select("id", "pr_e8")
     )
-    kz = q_graph_katz_centrality(spark, sf_dir)
+    kz = _katz_from_sym(sym)
     both = pr.join(kz, "id")
     # ties-averaged 2·avg-ranks per metric via the global-ranking
     # chassis (nodes are dim-scale but GROW with the corpus — the
     # window_dense_rank_suppliers lesson — so no single-task window):
     # rank over the (value, id) total order, then 2·min(rn)+cnt−1 per
     # distinct value, joined back (the lineitem_spearman machinery).
+    # r13 (VERDICT r12 next #2): the two global rankings are FUSED —
+    # both metrics' value streams are tagged and unioned, ONE
+    # range-exchange ranking runs over (metric, value, id), and each
+    # metric's within-metric rank is recovered by subtracting the
+    # metric's global min-rank − 1 (for metric 0 that is 0; for metric
+    # 1 it is n, the row count of ``both``). Per-metric tie groups and
+    # their min-rank/count — hence ra/rb — are exactly the r12 values:
+    # restricted to one metric the fused order IS (value, id).
     from page_rank_mapreduce_java_spark.operators.ranking import (
         global_row_number,
     )
 
-    rka = global_row_number(both, [F.asc("pr_e8"), F.asc("id")], "_rna")
-    ta = rka.groupBy("pr_e8").agg(
-        (F.lit(2) * F.min("_rna") + F.count(F.lit(1)) - F.lit(1)).alias("ra")
+    tagged = both.select(
+        F.lit(0).alias("_m"), F.col("pr_e8").alias("_val"), "id"
+    ).unionByName(
+        both.select(F.lit(1).alias("_m"), F.col("katz_e8").alias("_val"), "id")
     )
-    rkb = global_row_number(
-        both.select("id", "katz_e8"), [F.asc("katz_e8"), F.asc("id")], "_rnb"
+    rk = global_row_number(
+        tagged, [F.asc("_m"), F.asc("_val"), F.asc("id")], "_rn"
     )
-    tb = rkb.groupBy("katz_e8").agg(
-        (F.lit(2) * F.min("_rnb") + F.count(F.lit(1)) - F.lit(1)).alias("rb")
+    offs = rk.groupBy("_m").agg((F.min("_rn") - F.lit(1)).alias("_moff"))
+    rk = rk.join(F.broadcast(offs), "_m").withColumn(
+        "_rnm", F.col("_rn") - F.col("_moff")
+    )
+    ta = (
+        rk.filter(F.col("_m") == 0)
+        .groupBy(F.col("_val").alias("pr_e8"))
+        .agg(
+            (F.lit(2) * F.min("_rnm") + F.count(F.lit(1)) - F.lit(1)).alias("ra")
+        )
+    )
+    tb = (
+        rk.filter(F.col("_m") == 1)
+        .groupBy(F.col("_val").alias("katz_e8"))
+        .agg(
+            (F.lit(2) * F.min("_rnm") + F.count(F.lit(1)) - F.lit(1)).alias("rb")
+        )
     )
     r = both.join(ta, "pr_e8").join(tb, "katz_e8").select("ra", "rb")
     rad = F.col("ra").cast("decimal(38,0)")

@@ -277,7 +277,11 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).select(
         "user_id", F.to_date("ts").alias("day")
     )
-    active = e.distinct()
+    # r13 (guide §2.4, the basket-chassis subset-key): key the distinct's
+    # exchange on user_id alone — a subset of the distinct key satisfies
+    # its required distribution — so the cohort aggregate AND both sides
+    # of the user_id join reuse ONE exchange of the active relation.
+    active = e.repartition("user_id").distinct()
     cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         active.join(cohort, "user_id")

@@ -561,6 +561,15 @@ def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join instead — ground truth at audit scale).
     """
     e = load_table(spark, "events", sf_dir)
+    # r13 examined, REJECTED (guide §2.4 vs §2.5): keying the pair
+    # distinct on day alone would let the anchor-days distinct reuse the
+    # exchange, but day is LOW-cardinality — at 100 TB the big dedup
+    # exchange would collapse to ≤|days| busy partitions (the synthetic-
+    # key skew class). The only subset-keyed consumer here is the tiny
+    # days relation; not worth degrading the volume exchange. The
+    # retention-cohorts sibling (relational6) takes the subset key on
+    # user_id, which is high-cardinality — the profitable half of
+    # VERDICT r12 next #4.
     pairs = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
     days = pairs.select("day").distinct().withColumnRenamed("day", "anchor")
     fanned = pairs.select(

@@ -105,3 +105,68 @@ def test_choose_attempt_ranks_quiet_first_then_steal():
     # A quiet unreadable-steal attempt still beats a non-quiet readable
     # one (its bw probe is clean, which IS adjudicable telemetry)
     assert bench._choose_attempt([c, a]) is c
+
+
+def test_emit_json_line_round_trips_through_a_pipe():
+    # The graded-row contract: the driver must receive exactly ONE
+    # parseable JSON line on stdout (VERDICT r12 what's-wrong #1 — the
+    # r11 row printed rc 0 but never parsed).
+    import json
+
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": 181.25,
+        "unit": "sec",
+        "queries": {"graph_pagerank": 5.27, "q1_pricing_summary": 0.71},
+        "sf": 0.1,
+        "spread": {"graph_pagerank": [5.1, 5.9]},
+        "group_retries": [{"group": 0, "attempts": [{"steal": None}]}],
+    }
+    r, w = os.pipe()
+    try:
+        bench._emit_json_line(w, payload)
+    finally:
+        os.close(w)
+    data = os.read(r, 1 << 20)
+    os.close(r)
+    lines = data.decode().splitlines()
+    assert len(lines) == 1
+    assert json.loads(lines[0]) == payload
+
+
+def test_emit_json_line_rejects_unserializable_payload_before_writing():
+    import pytest
+
+    r, w = os.pipe()
+    try:
+        with pytest.raises(TypeError):
+            bench._emit_json_line(w, {"bad": object()})
+        os.close(w)
+        assert os.read(r, 4096) == b""  # nothing half-written
+    finally:
+        os.close(r)
+
+
+def test_seal_stdout_isolates_the_final_line_from_stdout_chatter():
+    # End-to-end contract in a subprocess: after _seal_stdout, print()
+    # chatter (and anything a child writes to fd 1) lands on stderr;
+    # only _emit_json_line reaches the real stdout.
+    import json
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys; sys.path.insert(0, %r); import bench, subprocess\n"
+        "fd = bench._seal_stdout()\n"
+        "print('driver chatter on old stdout')\n"
+        "subprocess.run(['echo', 'child chatter on fd 1'])\n"
+        "bench._emit_json_line(fd, {'metric': 'm', 'value': 1.0})\n" % here
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, timeout=60
+    )
+    assert proc.returncode == 0, proc.stderr
+    out_lines = proc.stdout.decode().splitlines()
+    assert out_lines == ['{"metric": "m", "value": 1.0}']
+    assert "driver chatter on old stdout" in proc.stderr.decode()
+    assert "child chatter on fd 1" in proc.stderr.decode()

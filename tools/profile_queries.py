@@ -5,12 +5,12 @@ For each named query: warm once at sf0.001 (codegen/JIT) and once at the
 target sf_dir (one-time builds: memoized bounds, BFS levels, page cache),
 then time ``reps`` noop-sink materializations (guide §1.4) with the cache
 cleared between reps, and optionally write the formatted plan to
-``plans/r12/<query>_<tag>.txt`` (guide §7.2).
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default r13; guide §7.2).
 
 Usage:
     python tools/profile_queries.py [--sf DIR] [--reps N] [--plans TAG] q1 q2 ...
 
-Walls print per rep plus median; plan files land under plans/r12/.
+Walls print per rep plus median; plan files land under plans/<round>/.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--plans", default=None, help="write plans/r12/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="write plans/<round>/<q>_<TAG>.txt")
     ap.add_argument("--no-warm", action="store_true")
     args = ap.parse_args()
 
@@ -47,7 +47,7 @@ def main() -> int:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
