@@ -212,10 +212,21 @@ SLICE_SIZE = 20
 # heavy chassis are compute-bound and the two core counts separate:
 # the low-core/high-core ratio of scale10x walls IS the parallelism
 # evidence the sf0.1 rows cannot give. Disable: SPARK_GRAFT_BENCH_SCALE10X=0.
+#
+# Set selection (r13, measured at /tmp 10× on this host, ratio =
+# 8-core/32-core wall): the Σ basket² pair chassis separate cleanly
+# (rec_item_item_topk 2.21, rec_popularity_lift 1.70) and the Brandes
+# chassis moderately (graph_betweenness_sampled 1.29); the superstep
+# chassis remain BARRIER-LATENCY-bound even at 10× (pagerank 0.85,
+# connected_components 0.62, ktruss 1.08, dedup_clusters 1.03 — per-
+# superstep state is hundreds of KB, so fewer/larger tasks win).
+# graph_pagerank stays in the set as the flagship canary precisely to
+# record that fact honestly; the three others carry the parallelism
+# signal.
 SCALE10X_QUERIES = [
     "graph_pagerank",
-    "graph_connected_components",
     "rec_item_item_topk",
+    "rec_popularity_lift",
     "graph_betweenness_sampled",
 ]
 
@@ -776,7 +787,7 @@ def main() -> None:
                 "dir": scale_dir,
                 "factor": 10,
                 "base_sf": sf,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "cpus": out["cpus"],
                 "queries": s10,
                 "bw_probe_sec": s10_bw,
                 **({"steal_pct": s10_steal} if s10_steal is not None else {}),

@@ -456,10 +456,14 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over centroid_id ≠ own).
     from page_rank_mapreduce_java_spark.similarity.ann import (
         _centroids_as_row,
+        _parallel_corpus,
     )
 
+    # r13: the in-place scoring pass runs BELOW the first exchange, so
+    # its parallelism is the parquet split count — 1-2 tasks at bench
+    # SFs (guide §2.5; see ann._parallel_corpus for the measurement).
     per_vec = (
-        e.select("embedding")
+        _parallel_corpus(e.select("embedding"))
         .join(F.broadcast(_centroids_as_row(cent)), F.lit(True))
         .select(
             F.transform(

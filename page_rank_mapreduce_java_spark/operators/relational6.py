@@ -277,11 +277,17 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).select(
         "user_id", F.to_date("ts").alias("day")
     )
-    # r13 (guide §2.4, the basket-chassis subset-key): key the distinct's
-    # exchange on user_id alone — a subset of the distinct key satisfies
-    # its required distribution — so the cohort aggregate AND both sides
-    # of the user_id join reuse ONE exchange of the active relation.
-    active = e.repartition("user_id").distinct()
+    # r13 examined, REJECTED (guide §1.1 empirical loop; §2.3 "aggregate
+    # before you shuffle" beats §2.4 exchange sharing here): keying the
+    # distinct's exchange on user_id alone (the basket subset-key) lets
+    # the cohort aggregate and the user_id join reuse one exchange, BUT
+    # an explicit repartition sits below the aggregate so the map-side
+    # partial dedup is lost — and events carry MANY rows per (user, day),
+    # so the exchange then moves raw event volume instead of deduped
+    # pairs. Measured 0.354 s → 0.536 s median at sf0.1 (5 reps each);
+    # at 100 TB the raw-volume exchange only gets worse. The distinct
+    # keeps its own (user_id, day) exchange with partial aggregation.
+    active = e.distinct()
     cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         active.join(cohort, "user_id")

@@ -30,6 +30,26 @@ LCG_C = 12345
 LCG_M = 2_147_483_648  # 2^31
 
 
+def _parallel_corpus(df: DataFrame) -> DataFrame:
+    """Floor the corpus relation's parallelism at the session's shuffle
+    parallelism (r13; guide §2.5 input parallelism / §6 split sizing).
+
+    The embeddings parquet is a single ~2-20 MB split at the bench SFs,
+    and every chassis in this module evaluates its per-row k-cosine
+    scoring IN THE SCAN STAGE (below the first exchange) — so the
+    dominant compute of the brute/kmeans/IVF paths ran in 1-2 tasks
+    regardless of core count. Measured on the 10× replica: brute top-k
+    64 queries × 20k vectors 17.5-23.6 s as-is vs 1.6-2.3 s floored.
+    A corpus whose scan already carries ≥ session parallelism (any real
+    cluster-scale input) is left untouched — the floor can only raise
+    parallelism, never coalesce it."""
+    spark = df.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -41,7 +61,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = _parallel_corpus(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -123,6 +145,7 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    parallel_corpus: bool = True,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, centroid-id
     tiebreak). Centroids broadcast; assignment is one corpus scan plus a
@@ -136,9 +159,14 @@ def ivf_assign(
     (array) vs 4.33 s (window) at sf0.1 — the exploded window's exchange
     is narrow (id, centroid_id, score) while the nested-lambda argmin
     projection runs interpreted. The certified window shape stays."""
-    scored = corpus.select(id_col, vec_col).join(
-        F.broadcast(centroids), F.lit(True)
-    )
+    # parallel_corpus: same knob and measured tradeoff as kmeans_train —
+    # wide assignment wins for single-materialization consumers, loses
+    # when a chassis replays the assignment subtree (ivf-pq opts out:
+    # quiet A/B ann_ivfpq_topk 5.69 s unfloored vs 6.52 s floored).
+    corp = corpus.select(id_col, vec_col)
+    if parallel_corpus:
+        corp = _parallel_corpus(corp)
+    scored = corp.join(F.broadcast(centroids), F.lit(True))
     w = Window.partitionBy(id_col).orderBy(
         F.desc(cosine(F.col(vec_col), F.col("cvec"))), F.asc("centroid_id")
     )
@@ -155,6 +183,7 @@ def kmeans_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    parallel_corpus: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd k-means (cosine assignment, per-dimension mean
     update) as pure DataFrame ops. Returns DataFrame[centroid_id LONG,
@@ -180,7 +209,18 @@ def kmeans_train(
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
     )
+    # ``parallel_corpus``: floor the scan's parallelism (see
+    # _parallel_corpus) so the per-row k-cosine assignment runs wide —
+    # measured interleaved at sf0.1: single-train consumers WIN
+    # (embedding_kmeans_centroids 2.4→1.7 s, the recall sweep's shared
+    # train rides along), but the PQ chassis — which replays FIVE
+    # trains (coarse + 4 subspaces) per materialization — pays the
+    # repartition exchange once per replay and LOSES (quiet medians:
+    # ann_ivfpq_topk 6.35→7.21 s, ann_pq_topk 4.97→5.93 s), so pq.py
+    # opts out.
     corp = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if parallel_corpus:
+        corp = _parallel_corpus(corp)
     for _ in range(iters):
         # r12 note: the array-argmin assignment (see ivf_assign) was
         # A/B'd HERE and LOST (3.6 s vs 2.6 s for the window+persist

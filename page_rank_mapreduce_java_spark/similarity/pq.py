@@ -80,7 +80,13 @@ def pq_train(
             subvector(vec_col, m, n_sub, dim).alias("embedding"),
         )
         parts.append(
-            kmeans_train(sub, k=k, iters=iters).withColumn("m", F.lit(m))
+            # parallel_corpus=False: the PQ chassis replays its five
+            # trains per materialization, so the per-train corpus
+            # repartition LOSES here (measured quiet A/B — see the
+            # kmeans_train note).
+            kmeans_train(
+                sub, k=k, iters=iters, parallel_corpus=False
+            ).withColumn("m", F.lit(m))
         )
     out = parts[0]
     for p in parts[1:]:
@@ -206,8 +212,16 @@ def ivfpq_topk(
         kmeans_train,
     )
 
-    centroids = kmeans_train(corpus, k=n_centroids, id_col=id_col, vec_col=vec_col)
-    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    centroids = kmeans_train(
+        corpus,
+        k=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        parallel_corpus=False,  # five replayed trains: see kmeans_train note
+    )
+    cells = ivf_assign(
+        corpus, centroids, id_col, vec_col, parallel_corpus=False
+    )
 
     codebook = pq_train(corpus, dim=dim, n_sub=n_sub, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(corpus, codebook, dim=dim, n_sub=n_sub, id_col=id_col, vec_col=vec_col)
