@@ -122,7 +122,17 @@ def documents_to_bmp(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
                 data[c] = pdf[c].reset_index(drop=True)
             yield pd.DataFrame(data, columns=cols)
 
-    return docs.select("doc_id", "text", *carry).mapInPandas(
+    from page_rank_mapreduce_java_spark.plans.parallelism import (
+        floor_scan_parallelism,
+    )
+
+    # r13 (guide §2.5 / §4): the documents scan is a single split at
+    # bench SFs, so this per-row Python encode leg ran in ONE worker
+    # regardless of core count; floor it at session parallelism (a
+    # cluster-scale scan is left untouched).
+    return floor_scan_parallelism(
+        docs.select("doc_id", "text", *carry)
+    ).mapInPandas(
         run, "doc_id LONG, payload BINARY" + carry_schema
     )
 

@@ -42,12 +42,14 @@ def _parallel_corpus(df: DataFrame) -> DataFrame:
     64 queries × 20k vectors 17.5-23.6 s as-is vs 1.6-2.3 s floored.
     A corpus whose scan already carries ≥ session parallelism (any real
     cluster-scale input) is left untouched — the floor can only raise
-    parallelism, never coalesce it."""
-    spark = df.sparkSession
-    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    parallelism, never coalesce it. (Shared engine-wide implementation:
+    plans/parallelism.floor_scan_parallelism; the multimodal encode
+    legs ride the same floor.)"""
+    from page_rank_mapreduce_java_spark.plans.parallelism import (
+        floor_scan_parallelism,
+    )
+
+    return floor_scan_parallelism(df)
 
 
 def brute_force_topk(
